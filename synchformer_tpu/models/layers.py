@@ -1,0 +1,168 @@
+"""Transformer building blocks, TPU-first.
+
+Design notes (vs the reference's torch modules):
+
+- QKV is computed as ONE fused matmul per attention (the reference uses three
+  separate Linears in its minGPT attention, ref: model/modules/transformer.py:42-44;
+  one packed Linear in Motionformer's DividedAttention, ref:
+  motionformer_src/vit_helper.py:88). One (N, D) @ (D, 3D) matmul keeps the MXU
+  busy and lets XLA fuse the bias/reshape epilogue.
+- softmax runs in fp32 regardless of compute dtype (bf16-safe attention).
+- GELU is the exact (erf) variant everywhere — torch's nn.GELU default — NOT
+  jax.nn.gelu's tanh approximation; this matters for checkpoint parity.
+- masks are additive  (0 / -inf) biases computed from boolean keep-masks.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def attention_bias_from_keep_mask(keep: Optional[jnp.ndarray], dtype) -> Optional[jnp.ndarray]:
+    """keep: (..., N) bool/int, 1 = attend-to. Returns (..., 1, 1, N) additive bias."""
+    if keep is None:
+        return None
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=jnp.float32)
+    bias = jnp.where(keep.astype(bool), 0.0, neg)
+    return bias[..., None, None, :]  # broadcast over heads and query positions
+
+
+def scaled_dot_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """q,k,v: (..., H, N, Dh). bias broadcastable to (..., H, Nq, Nk). fp32 softmax."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("...hqd,...hkd->...hqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = probs.astype(q.dtype)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    return jnp.einsum("...hqk,...hkd->...hqd", probs, v)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Fused-QKV multi-head self-attention with output projection.
+
+    Parameter layout: qkv kernel (D, 3D) ordered [q | k | v] so that torch
+    checkpoints with packed in_proj (nn.MultiheadAttention, DividedAttention)
+    convert by transpose, and separate-q/k/v checkpoints convert by concat.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_dropout: float = 0.0
+    proj_dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep_mask=None, deterministic: bool = True):
+        d = x.shape[-1]
+        head_dim = d // self.num_heads
+        qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(*x.shape[:-1], 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, -3, 0)
+        q = jnp.swapaxes(q, -3, -2)  # (..., H, N, Dh)
+        k = jnp.swapaxes(k, -3, -2)
+        v = jnp.swapaxes(v, -3, -2)
+        bias = attention_bias_from_keep_mask(keep_mask, self.dtype)
+        rng = self.make_rng("dropout") if (self.attn_dropout > 0 and not deterministic) else None
+        out = scaled_dot_attention(
+            q, k, v, bias=bias,
+            dropout_rate=self.attn_dropout, deterministic=deterministic, dropout_rng=rng,
+        )
+        out = jnp.swapaxes(out, -3, -2).reshape(x.shape)
+        out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_dropout)(out, deterministic=deterministic)
+        return out
+
+
+class Mlp(nn.Module):
+    """fc1 -> exact GELU -> dropout -> fc2 -> dropout (timm/minGPT MLP shape)."""
+
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    act: Callable = staticmethod(exact_gelu)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = x.shape[-1]
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        h = self.act(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(d, dtype=self.dtype, name="fc2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm DropPath; ref: vit_helper.py:312)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(rng, 1.0 - self.rate, shape)
+        return x * keep / (1.0 - self.rate)
+
+
+class PreLNBlock(nn.Module):
+    """Pre-LayerNorm transformer block: x + attn(ln1(x)); x + mlp(ln2(x)).
+
+    Covers both the minGPT block of the sync transformer
+    (ref: model/modules/transformer.py:79-97; ln eps 1e-5, heads 8) and the
+    HF-AST encoder layer (ref: hf_src/modeling_ast.py:281-323; eps 1e-12).
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ln_eps: float = 1e-5
+    attn_dropout: float = 0.0
+    resid_dropout: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep_mask=None, deterministic: bool = True):
+        d = x.shape[-1]
+        attn_out = MultiHeadSelfAttention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_dropout=self.attn_dropout, proj_dropout=self.resid_dropout,
+            dtype=self.dtype, name="attn",
+        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln1")(x),
+          keep_mask=keep_mask, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
+        mlp_out = Mlp(
+            hidden_dim=int(d * self.mlp_ratio), dropout=self.resid_dropout,
+            dtype=self.dtype, name="mlp",
+        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x),
+          deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
+        return x

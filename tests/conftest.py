@@ -6,11 +6,20 @@ be validated anywhere (the driver separately dry-runs the multi-chip path).
 """
 import os
 
-# force CPU: tests must never ride the (slow, single-chip) TPU tunnel
+# force CPU: tests must never ride the (slow, single-chip) TPU tunnel.
+# NOTE: plugins (jaxtyping) import jax before this conftest runs, so the env
+# var alone is too late — update the jax config as well (legal until the
+# backend is initialized, which no plugin does at import time).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
