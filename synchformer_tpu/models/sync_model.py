@@ -160,9 +160,16 @@ class Synchformer(nn.Module):
         return feats  # (B, S, ta, D)
 
     def __call__(self, vis, aud, targets=None, deterministic: bool = True,
-                 vis_mask=None, aud_mask=None, loss_fn: Optional[str] = None):
-        vis = self.extract_vfeats(vis, deterministic, vis_mask)
-        aud = self.extract_afeats(aud, deterministic, aud_mask)
+                 vis_mask=None, aud_mask=None, loss_fn: Optional[str] = None,
+                 extractors_deterministic: Optional[bool] = None):
+        # Stage II freezes the towers AND keeps them in eval mode while the
+        # sync transformer trains (ref: scripts/train_utils.py:195-214,330-344);
+        # extractors_deterministic=True reproduces that; None follows the
+        # global flag (Stage III fine-tunes everything).
+        if extractors_deterministic is None:
+            extractors_deterministic = deterministic
+        vis = self.extract_vfeats(vis, extractors_deterministic, vis_mask)
+        aud = self.extract_afeats(aud, extractors_deterministic, aud_mask)
 
         vis = self.v_proj(vis)
         aud = self.a_proj(aud)

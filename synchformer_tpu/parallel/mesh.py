@@ -1,0 +1,80 @@
+"""Device mesh + sharding layout for SPMD training.
+
+The reference's only parallelism is DDP over NCCL (ref:
+scripts/train_utils.py:53-70,208-212; SURVEY.md §2.3). The TPU-native
+equivalent is ONE jitted SPMD program over a ``jax.sharding.Mesh``:
+
+- axis ``data``  — batch sharding; gradient averaging is an XLA ``psum``
+  inserted automatically by jit (DDP's all-reduce, riding ICI)
+- axis ``model`` — optional tensor parallelism: Dense kernels are sharded on
+  their output features where divisible, replicated otherwise. The 768-dim
+  towers don't *need* TP for capacity (SURVEY.md §2.3), but the layout keeps
+  activation memory flat as per-chip batch grows and exercises the full
+  tp x dp sharding machinery.
+
+Barriers, rank broadcasts and object gathers from the torch version dissolve:
+SPMD program order replaces barriers, ``jax.experimental.multihost_utils``
+covers host-side broadcast/gather (see train/metrics.py for the eval gather
+semantics: lists concatenate, floats average — ref: train_utils.py:615-629).
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a ('data', 'model') mesh. Defaults to all devices on 'data'."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    devices = devices[: n_data * n_model]
+    dev_array = mesh_utils.create_device_mesh((n_data, n_model), devices=np.array(devices))
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# parameters whose output-feature dim is safe to shard over 'model':
+# QKV/proj/MLP kernels of every tower and the sync transformer
+_TP_SHARDABLE = re.compile(
+    r"(qkv|proj|fc1|fc2|linear|dense)$"
+)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Per-parameter NamedSharding: TP on Dense kernels where divisible,
+    replicated otherwise."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def spec_for(path, x) -> NamedSharding:
+        if tp > 1 and x.ndim == 2 and x.shape[-1] % tp == 0:
+            parent = path[-2].key if len(path) >= 2 else ""
+            leaf = path[-1].key if path else ""
+            if leaf == "kernel" and _TP_SHARDABLE.search(parent):
+                return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if tp > 1 and x.ndim == 1 and x.shape[-1] % tp == 0:
+            parent = path[-2].key if len(path) >= 2 else ""
+            leaf = path[-1].key if path else ""
+            if leaf == "bias" and _TP_SHARDABLE.search(parent):
+                return NamedSharding(mesh, P(MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
