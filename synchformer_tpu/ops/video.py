@@ -1,0 +1,120 @@
+"""Device-side video transforms: normalization + train-time augmentations.
+
+The reference applies these per dataloader worker on CPU
+(ref: dataset/transforms.py:139-218,637-669). Here they are jitted elementwise
+device ops, batched over (B, S) — XLA fuses them into the patch-embed
+producers so they are effectively free.
+
+Semantics reproduced:
+- RGBToHalfToZeroOne + RGBNormalize(mean=std=0.5): x/255 -> (x-0.5)/0.5
+  (ref: transforms.py:647-669, configs/sync.yaml:178-182)
+- RandomHorizontalFlip(p) per clip (ref: transforms.py:198-218)
+- RandomApplyColorDistortion: color jitter (brightness/contrast/saturation/hue,
+  strength s) + random grayscale (ref: transforms.py:110-177 via torchvision)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# ITU-R 601 luma weights (torchvision rgb_to_grayscale)
+_LUMA = jnp.asarray([0.299, 0.587, 0.114])
+
+
+def normalize_video(x: jnp.ndarray, mean: float = 0.5, std: float = 0.5,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 (..., H, W, C) -> normalized float (Motionformer stats)."""
+    x = x.astype(dtype) / 255.0
+    return (x - mean) / std
+
+
+def random_horizontal_flip(x: jnp.ndarray, rng: jax.Array, p: float = 0.5) -> jnp.ndarray:
+    """Flip the W axis independently per clip. x: (B, S, T, H, W, C)."""
+    flip = jax.random.bernoulli(rng, p, (x.shape[0],))
+    flipped = jnp.flip(x, axis=-2)
+    return jnp.where(flip[:, None, None, None, None, None], flipped, x)
+
+
+def _adjust_brightness(x, factor):
+    return x * factor
+
+
+def _adjust_contrast(x, factor):
+    mean = jnp.mean(x * _LUMA.astype(x.dtype), axis=(-3, -2, -1), keepdims=True) * 3.0
+    return (x - mean) * factor + mean
+
+
+def _adjust_saturation(x, factor):
+    gray = jnp.sum(x * _LUMA.astype(x.dtype), axis=-1, keepdims=True)
+    return (x - gray) * factor + gray
+
+
+def _adjust_hue(x, delta):
+    """Approximate hue rotation in YIQ space (cheap, fully vectorized)."""
+    yiq_from_rgb = jnp.asarray([[0.299, 0.587, 0.114],
+                                [0.596, -0.274, -0.322],
+                                [0.211, -0.523, 0.312]], dtype=x.dtype)
+    rgb_from_yiq = jnp.linalg.inv(yiq_from_rgb.astype(jnp.float32)).astype(x.dtype)
+    yiq = x @ yiq_from_rgb.T
+    angle = 2.0 * jnp.pi * delta
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    rot = jnp.stack([yiq[..., 0],
+                     yiq[..., 1] * cos - yiq[..., 2] * sin,
+                     yiq[..., 1] * sin + yiq[..., 2] * cos], axis=-1)
+    return rot @ rgb_from_yiq.T
+
+
+def random_color_jitter(x: jnp.ndarray, rng: jax.Array, p_color_jitter: float,
+                        p_gray_scale: float, s: float = 1.0) -> jnp.ndarray:
+    """Per-clip color distortion on [0, 1] video (B, S, T, H, W, C).
+
+    Factor ranges follow SimCLR-style strength-s jitter used by the reference
+    (ref: transforms.py get_color_distortion): brightness/contrast/saturation
+    in [max(0, 1-0.8s), 1+0.8s], hue in [-0.2s, 0.2s]; grayscale with its own
+    probability.
+    """
+    if p_color_jitter == 0.0 and p_gray_scale == 0.0:
+        return x
+    b = x.shape[0]
+    keys = jax.random.split(rng, 7)
+    apply_jit = jax.random.bernoulli(keys[0], p_color_jitter, (b,))
+    apply_gray = jax.random.bernoulli(keys[1], p_gray_scale, (b,))
+
+    def factor(key, lo, hi):
+        return jax.random.uniform(key, (b, 1, 1, 1, 1, 1), minval=lo, maxval=hi)
+
+    lo, hi = max(0.0, 1.0 - 0.8 * s), 1.0 + 0.8 * s
+    jit = _adjust_brightness(x, factor(keys[2], lo, hi))
+    jit = _adjust_contrast(jit, factor(keys[3], lo, hi))
+    jit = _adjust_saturation(jit, factor(keys[4], lo, hi))
+    jit = _adjust_hue(jit, jax.random.uniform(keys[5], (b, 1, 1, 1, 1),
+                                              minval=-0.2 * s, maxval=0.2 * s))
+    jit = jnp.clip(jit, 0.0, 1.0)
+    x = jnp.where(apply_jit[:, None, None, None, None, None], jit, x)
+
+    gray = jnp.broadcast_to(jnp.sum(x * _LUMA.astype(x.dtype), axis=-1, keepdims=True),
+                            x.shape)
+    x = jnp.where(apply_gray[:, None, None, None, None, None], gray, x)
+    return x
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw, antialias: bool = False) -> jnp.ndarray:
+    """Bilinear resize of (..., H, W, C) — RGBSpatialCropSometimesUpscale's
+    upscale step (ref: transforms.py:110-137; torchvision antialias=None)."""
+    out_shape = (*x.shape[:-3], out_hw[0], out_hw[1], x.shape[-1])
+    return jax.image.resize(x, out_shape, method="bilinear", antialias=antialias)
+
+
+def prepare_video_batch(video_u8: jnp.ndarray, rng: Optional[jax.Array] = None,
+                        train: bool = False, p_horizontal_flip: float = 0.5,
+                        p_color_jitter: float = 0.0, p_gray_scale: float = 0.0,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 (B, S, T, H, W, C) -> normalized float, with train augs."""
+    x = video_u8.astype(dtype) / 255.0
+    if train and rng is not None:
+        k1, k2 = jax.random.split(rng)
+        x = random_color_jitter(x, k1, p_color_jitter, p_gray_scale)
+        x = random_horizontal_flip(x, k2, p_horizontal_flip)
+    return (x - 0.5) / 0.5

@@ -1,0 +1,111 @@
+"""Golden tests for device DSP ops vs scipy (biquad) and analytic signals
+(resample), plus metric-module checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import signal as sps
+
+from synchformer_tpu.ops.dsp import (
+    biquad,
+    biquad_coeffs_lowpass,
+    lowpass_biquad,
+    random_gauss_noise,
+    random_volume,
+    resample,
+)
+from synchformer_tpu.train.metrics import calc_cls_metrics
+
+
+def test_biquad_matches_scipy(rng):
+    x = rng.standard_normal((2, 4_000)).astype(np.float32)
+    b, a = biquad_coeffs_lowpass(16_000, 100.0, 0.707)
+    golden = sps.lfilter(b, a, x, axis=-1)
+    got = np.asarray(biquad(jnp.asarray(x), b, a))
+    np.testing.assert_allclose(got, golden, rtol=1e-3, atol=1e-4)
+
+
+def test_lowpass_attenuates_high_freq():
+    t = np.arange(16_000) / 16_000
+    low = np.sin(2 * np.pi * 50 * t).astype(np.float32)
+    high = np.sin(2 * np.pi * 4_000 * t).astype(np.float32)
+    out_low = np.asarray(lowpass_biquad(jnp.asarray(low), 16_000, 100.0))
+    out_high = np.asarray(lowpass_biquad(jnp.asarray(high), 16_000, 100.0))
+    assert np.abs(out_low[8_000:]).max() > 0.5      # passband mostly intact
+    assert np.abs(out_high[8_000:]).max() < 0.01    # stopband crushed
+
+
+@pytest.mark.parametrize("orig,new", [(48_000, 16_000), (44_100, 16_000), (16_000, 8_000)])
+def test_resample_preserves_tone(orig, new):
+    dur = 0.5
+    t = np.arange(int(orig * dur)) / orig
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), orig, new))
+    expected_len = int(np.ceil(new * len(x) / orig))
+    assert y.shape[-1] == expected_len
+    t_new = np.arange(expected_len) / new
+    ideal = np.sin(2 * np.pi * 440.0 * t_new)
+    # ignore filter edge effects
+    sl = slice(200, -200)
+    corr = np.corrcoef(y[sl], ideal[sl])[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_random_volume_and_noise(rng):
+    x = jnp.asarray(rng.standard_normal((4, 1_000)).astype(np.float32) * 0.1)
+    loud = random_volume(x, jax.random.PRNGKey(0), p=1.0, gain=2.0)
+    np.testing.assert_allclose(np.asarray(loud), np.clip(np.asarray(x) * 2, -1, 1),
+                               atol=1e-6)
+    same = random_volume(x, jax.random.PRNGKey(0), p=0.0, gain=2.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(x))
+    noisy = random_gauss_noise(x, jax.random.PRNGKey(1), p=1.0, amplitude=0.01)
+    diff = np.asarray(noisy) - np.asarray(x)
+    assert 0.005 < diff.std() < 0.02
+
+
+# --- metrics (kept here to avoid a tiny extra file) ------------------------
+
+def test_calc_cls_metrics_basic():
+    rng = np.random.default_rng(0)
+    n, c = 400, 21
+    targets = rng.integers(0, c, n)
+    logits = rng.standard_normal((n, c)).astype(np.float32)
+    logits[np.arange(n), targets] += 3.0  # make the model "good"
+    m = calc_cls_metrics(targets, logits, topk=(1, 5))
+    assert 0.7 < m["accuracy_1"] <= 1.0
+    assert m["accuracy_5"] >= m["accuracy_1"]
+    assert m["accuracy_1_tol1"] >= m["accuracy_1"]
+    assert 0.5 < m["mROCAUC"] <= 1.0
+    assert m["mAP"] > 0.5
+    assert np.isfinite(m["dprime"])
+
+
+def test_calc_cls_metrics_tol_semantics():
+    # prediction one class off counts for tol1 but not plain accuracy
+    targets = np.array([5, 5, 5, 5])
+    logits = np.zeros((4, 21), dtype=np.float32)
+    logits[0, 5] = 9.0   # exact
+    logits[1, 4] = 9.0   # off by one
+    logits[2, 6] = 9.0   # off by one
+    logits[3, 9] = 9.0   # wrong
+    m = calc_cls_metrics(targets, logits, topk=(1,), only_accuracy=True)
+    assert m["accuracy_1"] == pytest.approx(0.25)
+    assert m["accuracy_1_tol1"] == pytest.approx(0.75, abs=1e-4)
+
+
+def test_calc_cls_metrics_missing_class_dummy_values():
+    targets = np.array([0, 1, 2, 3])
+    logits = np.random.default_rng(0).standard_normal((4, 21)).astype(np.float32)
+    m = calc_cls_metrics(targets, logits, topk=(1,))
+    assert m["mAP"] == 0.0 and m["mROCAUC"] == 0.5 and m["dprime"] == 0.0
+
+
+def test_calc_cls_metrics_binary_syncability():
+    rng = np.random.default_rng(0)
+    targets = rng.integers(0, 2, 200)
+    logits = rng.standard_normal((200, 2)).astype(np.float32)
+    logits[np.arange(200), targets] += 2.0
+    m = calc_cls_metrics(targets, logits, topk=(1, 5), calc_pr_rec_f1=True)
+    assert "accuracy_2" not in m  # silenced for binary like the reference
+    assert 0.5 < m["accuracy_1"] <= 1.0
+    assert {"precision", "recall", "f1"} <= set(m)
