@@ -1,0 +1,360 @@
+"""Checkpointing: orbax-native save/load + PyTorch reference-ckpt conversion.
+
+Native checkpoints (orbax):
+- Stage II/III ckpt payload mirrors the reference dict {args/cfg, loss,
+  metrics, epoch, model, optimizer, lr/scaler state} (ref: utils/logger.py:139-160)
+  as {params, opt_state, step, epoch, metrics, cfg}; best/latest naming and
+  atomic replace semantics come from orbax itself (the reference hand-rolls
+  tmp->os.replace, ref: train_clip.py:425-441).
+
+Torch -> flax conversion covers the three reference checkpoint layouts
+(SURVEY.md §5 checkpoint/resume):
+- Stage II/III sync ckpts  ({'model': sd, 'args': cfg}, ref: logger.py:139-160)
+- Stage I AVCLIP ckpts     ({'state_dict': sd} with module./a_encoder./
+  v_encoder. prefixes, ref: ast.py:113-132, motionformer.py:156-173)
+- raw tower ckpts (HF AST, FB Motionformer .pyth) including the reference's
+  positional-embedding trim rules (ref: ast.py:240-245, sync_model.py:101-114).
+"""
+from __future__ import annotations
+
+import logging
+import re
+from pathlib import Path
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# low-level torch tensor -> numpy
+# ---------------------------------------------------------------------------
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()
+
+
+def _linear(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    """torch Linear -> flax Dense {kernel, bias} (weight transposed)."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _fused_qkv_from_separate(sd: Mapping, q: str, k: str, v: str) -> Dict[str, np.ndarray]:
+    """Three torch Linears -> one fused (D, 3D) [q|k|v] Dense."""
+    kernel = np.concatenate(
+        [_np(sd[f"{q}.weight"]).T, _np(sd[f"{k}.weight"]).T, _np(sd[f"{v}.weight"]).T],
+        axis=1)
+    out = {"kernel": kernel}
+    if f"{q}.bias" in sd:
+        out["bias"] = np.concatenate(
+            [_np(sd[f"{q}.bias"]), _np(sd[f"{k}.bias"]), _np(sd[f"{v}.bias"])])
+    return out
+
+
+def _fused_qkv_from_packed(sd: Mapping, prefix: str,
+                           weight_key: str = "weight",
+                           bias_key: str = "bias") -> Dict[str, np.ndarray]:
+    """torch packed-qkv Linear (rows [q;k;v]) -> fused Dense (cols [q|k|v])."""
+    out = {"kernel": _np(sd[f"{prefix}.{weight_key}"]).T}
+    if f"{prefix}.{bias_key}" in sd:
+        out["bias"] = _np(sd[f"{prefix}.{bias_key}"])
+    return out
+
+
+def _conv(sd: Mapping, prefix: str, ndim: int) -> Dict[str, np.ndarray]:
+    """torch ConvNd (O, I, *K) -> flax Conv kernel (*K, I, O)."""
+    w = _np(sd[f"{prefix}.weight"])
+    perm = tuple(range(2, 2 + ndim)) + (1, 0)
+    out = {"kernel": w.transpose(perm)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# composite blocks
+# ---------------------------------------------------------------------------
+
+def convert_preln_block_from_separate_qkv(sd, p) -> Dict:
+    """minGPT Block (ref: model/modules/transformer.py:79-97): separate
+    key/query/value Linears, mlp Sequential [Linear, GELU, Linear, Dropout]."""
+    return {
+        "ln1": _layernorm(sd, f"{p}.ln1"),
+        "ln2": _layernorm(sd, f"{p}.ln2"),
+        "attn": {
+            "qkv": _fused_qkv_from_separate(sd, f"{p}.attn.query", f"{p}.attn.key",
+                                            f"{p}.attn.value"),
+            "proj": _linear(sd, f"{p}.attn.proj"),
+        },
+        "mlp": {"fc1": _linear(sd, f"{p}.mlp.0"), "fc2": _linear(sd, f"{p}.mlp.2")},
+    }
+
+
+def convert_hf_ast_layer(sd, p) -> Dict:
+    """HF ASTLayer (ref: hf_src/modeling_ast.py:281-323)."""
+    att = f"{p}.attention"
+    return {
+        "ln1": _layernorm(sd, f"{p}.layernorm_before"),
+        "ln2": _layernorm(sd, f"{p}.layernorm_after"),
+        "attn": {
+            "qkv": _fused_qkv_from_separate(
+                sd, f"{att}.attention.query", f"{att}.attention.key",
+                f"{att}.attention.value"),
+            "proj": _linear(sd, f"{att}.output.dense"),
+        },
+        "mlp": {"fc1": _linear(sd, f"{p}.intermediate.dense"),
+                "fc2": _linear(sd, f"{p}.output.dense")},
+    }
+
+
+def convert_torch_encoder_layer(sd, p) -> Dict:
+    """nn.TransformerEncoderLayer(norm_first) -> PreLNBlock subtree; used by
+    every aggregator (BaseEncoderLayer, ref: visual/motionformer.py:275-347)."""
+    return {
+        "ln1": _layernorm(sd, f"{p}.norm1"),
+        "ln2": _layernorm(sd, f"{p}.norm2"),
+        "attn": {
+            "qkv": _fused_qkv_from_packed(sd, f"{p}.self_attn", "in_proj_weight",
+                                          "in_proj_bias"),
+            "proj": _linear(sd, f"{p}.self_attn.out_proj"),
+        },
+        "mlp": {"fc1": _linear(sd, f"{p}.linear1"), "fc2": _linear(sd, f"{p}.linear2")},
+    }
+
+
+def convert_cls_pool_layer(sd, p, has_pos_emb: bool = False) -> Dict:
+    """BaseEncoderLayer (CLS token + encoder layer [+ pos emb])."""
+    out = {"cls_token": _np(sd[f"{p}.cls_token"]),
+           "block": convert_torch_encoder_layer(sd, p)}
+    if has_pos_emb or f"{p}.pos_emb" in sd:
+        out["pos_emb"] = _np(sd[f"{p}.pos_emb"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# towers
+# ---------------------------------------------------------------------------
+
+def convert_motionformer(sd: Mapping, prefix: str = "", depth: int = 12) -> Dict:
+    """Motionformer tower state dict -> MotionFormerEncoder params.
+
+    Handles both raw .pyth layouts (model_state) and Stage-ckpt subtrees
+    (vfeat_extractor. / v_encoder. prefixes are stripped by the caller).
+    """
+    p = prefix
+    out: Dict[str, Any] = {
+        "cls_token": _np(sd[f"{p}cls_token"]),
+        "pos_embed": _np(sd[f"{p}pos_embed"]),
+        "temp_embed": _np(sd[f"{p}temp_embed"]),
+        "patch_embed_3d": _conv(sd, f"{p}patch_embed_3d.proj", 3),
+        "norm": _layernorm(sd, f"{p}norm"),
+    }
+    for i in range(depth):
+        b = f"{p}blocks.{i}"
+        out[f"blocks_{i}"] = {
+            "norm1": _layernorm(sd, f"{b}.norm1"),
+            "norm2": _layernorm(sd, f"{b}.norm2"),
+            "norm3": _layernorm(sd, f"{b}.norm3"),
+            "attn": {"qkv": _fused_qkv_from_packed(sd, f"{b}.attn.qkv"),
+                     "proj": _linear(sd, f"{b}.attn.proj")},
+            "timeattn": {"qkv": _fused_qkv_from_packed(sd, f"{b}.timeattn.qkv"),
+                         "proj": _linear(sd, f"{b}.timeattn.proj")},
+            "mlp": {"fc1": _linear(sd, f"{b}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{b}.mlp.fc2")},
+        }
+    if f"{p}spatial_attn_agg.cls_token" in sd:
+        out["spatial_attn_agg"] = {
+            "cls_layer": convert_cls_pool_layer(sd, f"{p}spatial_attn_agg")}
+    if f"{p}temp_attn_agg.cls_token" in sd:
+        out["temp_attn_agg"] = {
+            "cls_layer": convert_cls_pool_layer(sd, f"{p}temp_attn_agg")}
+    if f"{p}global_attn_agg.cls_token" in sd:
+        out["global_attn_agg"] = {
+            "cls_layer": convert_cls_pool_layer(sd, f"{p}global_attn_agg",
+                                                has_pos_emb=True)}
+    return out
+
+
+def convert_ast(sd: Mapping, prefix: str = "", depth: int = 12,
+                max_patches: Optional[int] = 74) -> Dict:
+    """AST tower state dict -> ASTEncoder params. Trims the positional
+    embedding to the first `max_patches` positions like the reference
+    (ref: audio/ast.py:240-245: pos[:, :f*t+2])."""
+    p = prefix
+    pos = _np(sd[f"{p}ast.embeddings.position_embeddings"])
+    if max_patches is not None and pos.shape[1] > max_patches:
+        logging.info(f"trimming AST pos emb {pos.shape[1]} -> {max_patches}")
+        pos = pos[:, :max_patches]
+    out: Dict[str, Any] = {
+        "cls_token": _np(sd[f"{p}ast.embeddings.cls_token"]),
+        "distillation_token": _np(sd[f"{p}ast.embeddings.distillation_token"]),
+        "position_embeddings": pos,
+        "patch_embed": _conv(sd, f"{p}ast.embeddings.patch_embeddings.projection", 2),
+        "layernorm": _layernorm(sd, f"{p}ast.layernorm"),
+    }
+    for i in range(depth):
+        out[f"layer_{i}"] = convert_hf_ast_layer(sd, f"{p}ast.encoder.layer.{i}")
+    if f"{p}freq_attn_agg.cls_token" in sd:
+        out["freq_attn_agg"] = {
+            "cls_layer": convert_cls_pool_layer(sd, f"{p}freq_attn_agg")}
+    if f"{p}temp_attn_agg.cls_token" in sd:
+        out["temp_attn_agg"] = {
+            "cls_layer": convert_cls_pool_layer(sd, f"{p}temp_attn_agg")}
+    if f"{p}global_attn_agg.cls_token" in sd:
+        out["global_attn_agg"] = {
+            "cls_layer": convert_cls_pool_layer(sd, f"{p}global_attn_agg",
+                                                has_pos_emb=True)}
+    return out
+
+
+def convert_global_transformer(sd: Mapping, prefix: str = "transformer.",
+                               n_layer: int = 3,
+                               target_seq_len: Optional[int] = None) -> Dict:
+    """GlobalTransformer state dict -> params, including the pos-emb trim rule
+    for shorter target sequences (ref: model/sync_model.py:101-114)."""
+    p = prefix
+    out: Dict[str, Any] = {
+        "vis_in_lnorm": _layernorm(sd, f"{p}vis_in_lnorm"),
+        "aud_in_lnorm": _layernorm(sd, f"{p}aud_in_lnorm"),
+        "OFF_tok": _np(sd[f"{p}OFF_tok"]),
+        "MOD_tok": _np(sd[f"{p}MOD_tok"]),
+        "ln_f": _layernorm(sd, f"{p}ln_f"),
+    }
+    if f"{p}pos_emb_cfg.pos_emb" in sd:
+        pos = _np(sd[f"{p}pos_emb_cfg.pos_emb"])
+        if target_seq_len is not None:
+            if pos.shape[1] > target_seq_len:
+                logging.warning(f"trimming sync pos emb {pos.shape[1]} -> {target_seq_len}")
+                pos = pos[:, :target_seq_len]
+            elif pos.shape[1] < target_seq_len:
+                raise ValueError(
+                    f"cannot load shorter pos emb ({pos.shape[1]} < {target_seq_len})")
+        out["pos_emb"] = {"pos_emb": pos}
+    for i in range(n_layer):
+        out[f"blocks_{i}"] = convert_preln_block_from_separate_qkv(sd, f"{p}blocks.{i}")
+    if f"{p}off_head.weight" in sd:
+        out["off_head"] = {"linear": _linear(sd, f"{p}off_head")}
+    if f"{p}sync_head.weight" in sd:
+        out["sync_head"] = _linear(sd, f"{p}sync_head")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# top-level checkpoint layouts
+# ---------------------------------------------------------------------------
+
+def _strip_prefixes(sd: Mapping, prefixes) -> Dict[str, Any]:
+    out = {}
+    for key, value in sd.items():
+        for pref in prefixes:
+            if key.startswith(pref):
+                out[key[len(pref):]] = value
+                break
+    return out
+
+
+def convert_sync_checkpoint(ckpt: Mapping, target_seq_len: Optional[int] = None,
+                            n_layer: int = 3) -> Dict:
+    """Stage II/III checkpoint ({'model': sd, ...} or a bare sd) ->
+    Synchformer params tree."""
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, Mapping) else ckpt
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    params = {
+        "v_encoder": convert_motionformer(sd, "vfeat_extractor."),
+        "a_encoder": convert_ast(sd, "afeat_extractor."),
+        "v_proj": {"linear": _linear(sd, "vproj")},
+        "a_proj": {"linear": _linear(sd, "aproj")},
+        "sync_transformer": convert_global_transformer(
+            sd, "transformer.", n_layer=n_layer, target_seq_len=target_seq_len),
+    }
+    return params
+
+
+def convert_avclip_checkpoint(ckpt: Mapping) -> Dict:
+    """Stage I checkpoint ({'state_dict': sd}) -> AVCLIP params tree. Tower
+    keys carry a_encoder./v_encoder. (optionally module.) prefixes
+    (ref: ast.py:118-122, motionformer.py:159-163)."""
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    a_sd = _strip_prefixes(sd, ["a_encoder."])
+    v_sd = _strip_prefixes(sd, ["v_encoder."])
+    params: Dict[str, Any] = {
+        "v_encoder": convert_motionformer(v_sd),
+        "a_encoder": convert_ast(a_sd),
+    }
+    if "logit_scale" in sd:
+        params["logit_scale"] = _np(sd["logit_scale"]).reshape(())
+    return params
+
+
+def extract_tower_from_avclip(ckpt: Mapping, tower: str) -> Dict:
+    """Initialize one tower from a Stage-I ckpt (cross-stage surgery,
+    ref: ast.py:113-132 / motionformer.py:156-173)."""
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    if tower == "audio":
+        return convert_ast(_strip_prefixes(sd, ["a_encoder."]))
+    if tower == "visual":
+        return convert_motionformer(_strip_prefixes(sd, ["v_encoder."]))
+    raise ValueError(tower)
+
+
+def load_torch_checkpoint(path: str) -> Dict:
+    """torch.load a reference .pt/.pyth file (CPU, weights only when possible)."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# orbax-native checkpoint IO
+# ---------------------------------------------------------------------------
+
+class CheckpointManager:
+    """best/latest checkpointing with orbax (atomic by construction)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._dir = Path(directory).absolute()
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._ocp = ocp
+        self._mngr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, best_fn=lambda m: m.get("best_metric", 0.0),
+                create=True),
+        )
+
+    def save(self, step: int, payload: Dict[str, Any],
+             metrics: Optional[Dict[str, float]] = None) -> None:
+        self._mngr.save(step, args=self._ocp.args.StandardSave(payload),
+                        metrics=metrics or {})
+        self._mngr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None,
+                template: Optional[Any] = None) -> Dict[str, Any]:
+        step = self._mngr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self._dir}")
+        if template is not None:
+            return self._mngr.restore(
+                step, args=self._ocp.args.StandardRestore(template))
+        return self._mngr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mngr.best_step()
