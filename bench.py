@@ -19,8 +19,9 @@ import time
 
 import numpy as np
 
-# identical pipeline, JAX on host CPU, fp32, B=1 (measured on this machine)
-CPU_BASELINE_CLIPS_PER_SEC = 0.15
+# identical pipeline, JAX on host CPU, fp32, B=1 (measured on this machine:
+# 81.2 s/clip -> 0.0123 clips/s)
+CPU_BASELINE_CLIPS_PER_SEC = 0.0123
 
 
 def main():

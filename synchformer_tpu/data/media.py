@@ -1,0 +1,164 @@
+"""Host-side media decode, gated by available backends.
+
+The reference decodes with torchvision.io/ffmpeg (native libav, ref:
+dataset/dataset_utils.py:75-85, example.py:16-36). Decode is inherently a
+host/native concern — this module picks the best available backend:
+
+1. PyAV (``av``) — in-process libav decode
+2. ``ffmpeg`` binary — rawvideo/pcm pipes (also used for re-encoding, the
+   equivalent of example.py's reencode_video)
+3. synthetic — deterministic generated AV used by tests/benchmarks when no
+   decoder exists in the image
+
+Outputs channels-LAST uint8 video (Tv, H, W, C) + mono float32 PCM (Ta,),
+i.e. the TPU staging layout (the reference emits torch TCHW; our device
+pipeline wants HWC for convs).
+
+The C++ staging runtime (native/avstage) sits below this module: decoded
+frames land in its pinned ring buffer for batch assembly (see
+synchformer_tpu/data/pipeline.py).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def available_backends():
+    out = []
+    try:
+        import av  # noqa: F401
+
+        out.append("pyav")
+    except ImportError:
+        pass
+    if shutil.which("ffmpeg"):
+        out.append("ffmpeg")
+    out.append("synthetic")
+    return out
+
+
+def maybe_cache_file(path: str) -> str:
+    """Copy to node-local scratch when configured (ref: dataset_utils.py:57-72)."""
+    scratch = os.environ.get("LOCAL_SCRATCH")
+    if not scratch:
+        return path
+    cache_path = Path(scratch) / Path(path).relative_to("/")
+    if not cache_path.exists():
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(path, cache_path)
+    return str(cache_path)
+
+
+def _decode_pyav(path: str, end_sec: Optional[float]) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    import av
+
+    frames, samples = [], []
+    with av.open(path) as container:
+        v_stream = container.streams.video[0]
+        a_stream = container.streams.audio[0]
+        v_fps = float(v_stream.average_rate)
+        a_rate = int(a_stream.rate)
+        for frame in container.decode(video=0):
+            if end_sec is not None and frame.time is not None and frame.time > end_sec:
+                break
+            frames.append(frame.to_ndarray(format="rgb24"))
+    with av.open(path) as container:
+        a_stream = container.streams.audio[0]
+        for aframe in container.decode(audio=0):
+            if end_sec is not None and aframe.time is not None and aframe.time > end_sec:
+                break
+            arr = aframe.to_ndarray()  # (C, T) or (T,)
+            samples.append(arr if arr.ndim == 2 else arr[None])
+    video = np.stack(frames).astype(np.uint8)
+    audio = np.concatenate(samples, axis=-1).mean(axis=0).astype(np.float32)
+    if audio.max(initial=0.0) > 2.0:  # int PCM -> [-1, 1]
+        audio = audio / 32768.0
+    meta = {"video": {"fps": [v_fps]}, "audio": {"framerate": [float(a_rate)]}}
+    return video, audio, meta
+
+
+def _probe_ffmpeg(path: str) -> Dict:
+    cmd = ["ffprobe", "-v", "quiet", "-print_format", "json", "-show_streams", path]
+    import json
+
+    info = json.loads(subprocess.check_output(cmd))
+    meta = {}
+    for s in info["streams"]:
+        if s["codec_type"] == "video" and "video" not in meta:
+            num, den = s["avg_frame_rate"].split("/")
+            meta["video"] = {"fps": [float(num) / float(den)],
+                             "width": int(s["width"]), "height": int(s["height"])}
+        elif s["codec_type"] == "audio" and "audio" not in meta:
+            meta["audio"] = {"framerate": [float(s["sample_rate"])]}
+    return meta
+
+
+def _decode_ffmpeg(path: str, end_sec: Optional[float]) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    meta = _probe_ffmpeg(path)
+    w, h = meta["video"]["width"], meta["video"]["height"]
+    t_args = ["-t", str(end_sec)] if end_sec is not None else []
+    vid_raw = subprocess.check_output(
+        ["ffmpeg", "-v", "quiet", "-i", path, *t_args, "-f", "rawvideo",
+         "-pix_fmt", "rgb24", "-"])
+    video = np.frombuffer(vid_raw, np.uint8).reshape(-1, h, w, 3)
+    aud_raw = subprocess.check_output(
+        ["ffmpeg", "-v", "quiet", "-i", path, *t_args, "-f", "f32le", "-ac", "1", "-"])
+    audio = np.frombuffer(aud_raw, np.float32).copy()
+    return video, audio, {"video": {"fps": meta["video"]["fps"]},
+                          "audio": {"framerate": meta["audio"]["framerate"]}}
+
+
+def synthetic_av(duration_sec: float = 10.0, fps: float = 25.0,
+                 sample_rate: float = 16_000.0, side: int = 256,
+                 seed: int = 0) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Deterministic synthetic clip (moving gradient + chirp)."""
+    rng = np.random.default_rng(seed)
+    tv = int(duration_sec * fps)
+    ta = int(duration_sec * sample_rate)
+    yy, xx = np.mgrid[0:side, 0:side].astype(np.float32) / side
+    phase = np.arange(tv, dtype=np.float32)[:, None, None] / fps
+    base = (127 + 100 * np.sin(2 * np.pi * (xx[None] + phase)) * yy[None])
+    video = np.clip(base[..., None] + rng.normal(0, 8, (tv, side, side, 3)),
+                    0, 255).astype(np.uint8)
+    t = np.arange(ta, dtype=np.float32) / sample_rate
+    audio = (0.3 * np.sin(2 * np.pi * (200 + 40 * t) * t)).astype(np.float32)
+    meta = {"video": {"fps": [fps]}, "audio": {"framerate": [sample_rate]}}
+    return video, audio, meta
+
+
+def get_video_and_audio(path: str, end_sec: Optional[float] = None,
+                        backend: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Decode an mp4 -> (video (Tv,H,W,C) u8, mono audio (Ta,) f32, meta)
+    (capability of ref: dataset_utils.py:75-85)."""
+    path = maybe_cache_file(str(path))
+    backends = available_backends()
+    backend = backend or backends[0]
+    if backend == "pyav":
+        return _decode_pyav(path, end_sec)
+    if backend == "ffmpeg":
+        return _decode_ffmpeg(path, end_sec)
+    if backend == "synthetic":
+        logging.warning("no media decoder available; serving synthetic AV for %s", path)
+        return synthetic_av(seed=abs(hash(str(path))) % (2 ** 31))
+    raise ValueError(f"unknown backend {backend}")
+
+
+def reencode_video(path: str, vfps: int = 25, afps: int = 16_000,
+                   min_side: int = 256, out_path: Optional[str] = None) -> str:
+    """Re-encode to the canonical 25fps/16kHz/256-side format via ffmpeg
+    (equivalent of ref: example.py:16-36)."""
+    if not shutil.which("ffmpeg"):
+        raise RuntimeError("ffmpeg binary not available for re-encoding")
+    out_path = out_path or str(Path(path).with_suffix("")) + f"_{vfps}fps_{min_side}side_{afps}hz.mp4"
+    scale = f"scale=iw*{min_side}/'min(iw,ih)':ih*{min_side}/'min(iw,ih)'"
+    subprocess.check_call(
+        ["ffmpeg", "-y", "-v", "quiet", "-i", path,
+         "-vf", f"fps={vfps},{scale}", "-ar", str(afps), "-ac", "1", out_path])
+    return out_path
