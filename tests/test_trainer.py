@@ -1,0 +1,76 @@
+"""End-to-end integration: SyncTrainer on synthetic media with a tiny model.
+
+This is the TPU analogue of the reference's smoke-run practice — the full
+stack (decode -> geometry -> device mel/normalize -> towers -> sync
+transformer -> loss -> SPMD update -> eval metrics -> early stop/ckpt) runs
+for two epochs on the 8-device CPU mesh.
+"""
+import numpy as np
+import pytest
+
+from synchformer_tpu.data.datasets import SyntheticAV
+from synchformer_tpu.train.stage_sync import SyncTrainer
+
+D = 32
+
+TINY_MODEL_CFG = dict(
+    target="synchformer_tpu.models.sync_model.Synchformer",
+    params=dict(
+        afeat_extractor=dict(
+            target="synchformer_tpu.models.ast_encoder.ASTEncoder",
+            params=dict(hidden_size=D, depth=1, num_heads=4, patch_size=16,
+                        frequency_stride=10, time_stride=10, num_mel_bins=128,
+                        max_spec_t=18)),
+        vfeat_extractor=dict(
+            target="synchformer_tpu.models.motionformer.MotionFormerEncoder",
+            params=dict(embed_dim=D, depth=1, num_heads=4, patch_size=8,
+                        z_block_size=2, temporal_resolution=2, img_size=16,
+                        drop_path_rate=0.0)),
+        aproj=dict(target="torch.nn.Linear",
+                   params=dict(in_features=D, out_features=D)),
+        vproj=dict(target="torch.nn.Linear",
+                   params=dict(in_features=D, out_features=D)),
+        transformer=dict(
+            target="synchformer_tpu.models.sync_model.GlobalTransformer",
+            params=dict(
+                n_layer=1, n_head=4, n_embd=D,
+                pos_emb_cfg=dict(
+                    target="synchformer_tpu.models.pos_emb.RandInitPositionalEncoding",
+                    # seq = 2 aux + S*(tv=2) + S*(ta=1), S=3
+                    params=dict(block_shape=[2 + 3 * 2 + 3 * 1], n_embd=D)),
+                off_head_cfg=dict(target="torch.nn.Linear",
+                                  params=dict(in_features=D, out_features=21)))),
+    ),
+)
+
+TINY_CFG = dict(
+    action="train_avsync_model",
+    model=TINY_MODEL_CFG,
+    training=dict(base_batch_size=8, base_learning_rate=1e-4, num_epochs=2,
+                  patience=5, use_half_precision=False, seed=0,
+                  lr_scheduler=dict(name="constant", warmup=0),
+                  optimizer=dict(name="adam")),
+    data=dict(n_segments=3, num_off_cls=21, crop_len_sec=1.0, max_off_sec=2.0,
+              step_size_seg=0.5, input_size=16, segment_size_vframes=4,
+              audio_jitter_sec=0.0, p_horizontal_flip=0.5),
+    logging=dict(logdir="/tmp/synchformer_tpu_test_logs", log_code_state=False),
+)
+
+
+@pytest.mark.slow
+def test_sync_trainer_end_to_end(tmp_path):
+    cfg = dict(TINY_CFG)
+    cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False)
+    trainer = SyncTrainer(cfg)
+    train_ds = SyntheticAV("train", n_clips=16)
+    valid_ds = SyntheticAV("valid", n_clips=8)
+    test_ds = SyntheticAV("test", n_clips=8)
+    results = trainer.fit(train_ds, valid_ds, test_ds, num_workers=2,
+                          max_epochs=2, decode_backend="synthetic")
+    assert "best_valid" in results and "test" in results
+    assert np.isfinite(results["test"]["accuracy_1"])
+    assert 0.0 <= results["test"]["accuracy_1"] <= 1.0
+    # checkpoints were written
+    assert trainer.ckpt.latest_step() is not None
+    # scalar logs exist
+    assert (trainer.logger.logdir / "scalars.jsonl").exists()
