@@ -1,0 +1,256 @@
+"""Stage I trainer: segment-level audio-visual contrastive pre-training.
+
+Capability parity with ref:
+model/modules/feat_extractors/train_clip_src/training/{train_clip,train}.py —
+
+- AVCLIP InfoNCE training with AdamW (weight-decay exempt gains/biases,
+  ref: train_clip.py:267-278), cosine LR with warmup (ref: scheduler.py:43-53),
+  logit-scale clamping every step
+- optional cross-replica negatives via differentiable all_gather on the
+  'data' mesh axis (shard_map; ref: open_clip/model.py:492-497)
+- the zero-shot **shifted-window retrieval probe** as the validation metric
+  ('precision', ref: train.py:261-402,549-592): unfold S segment features
+  into windows of W, match windows across modalities, precision = fraction
+  of correctly matched shifts
+- epoch_best / epoch_latest checkpoints on the probe metric, early stopping
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from synchformer_tpu.data.pipeline import SyncDataLoader, batch_to_device
+from synchformer_tpu.data.transforms import SyncPipelineConfig
+from synchformer_tpu.models.presets import build_avclip
+from synchformer_tpu.ops.mel import MelSpectrogramConfig, log_mel_spectrogram
+from synchformer_tpu.ops.video import prepare_video_batch
+from synchformer_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
+from synchformer_tpu.registry import instantiate_from_config
+from synchformer_tpu.train.metrics import gather_dict
+from synchformer_tpu.train.state import SyncTrainState, make_lr_schedule, make_optimizer
+from synchformer_tpu.utils.checkpoint import CheckpointManager
+from synchformer_tpu.utils.logger import EarlyStopper, ExperimentLogger, Meter
+
+
+def shifted_window_predictions(afeat: jnp.ndarray, vfeat: jnp.ndarray, window: int):
+    """Sliding windows of size W over the segment axis; for each window in A
+    find the most similar window in V and vice versa
+    (ref: training/train.py:549-579)."""
+    b, s, d = afeat.shape
+    n_shifts = s - window + 1
+    idx = np.arange(n_shifts)[:, None] + np.arange(window)[None, :]
+    a_folds = afeat[:, idx].reshape(b, n_shifts, window * d)
+    v_folds = vfeat[:, idx].reshape(b, n_shifts, window * d)
+    sim = jnp.einsum("bnd,bmd->bnm", a_folds, v_folds)
+    return jnp.argmax(sim, axis=-2), jnp.argmax(sim, axis=-1)  # (B, n_shifts)
+
+
+def zero_shot_precision(afeat, vfeat, window: int) -> jnp.ndarray:
+    """Fraction of windows matched to the in-sync (diagonal) shift
+    (ref: training/train.py:581-592 + eval_one_example)."""
+    preds_a, preds_v = shifted_window_predictions(afeat, vfeat, window)
+    gt = jnp.arange(preds_a.shape[1])[None]
+    return ((preds_a == gt).mean() + (preds_v == gt).mean()) / 2.0
+
+
+class AVCLIPTrainer:
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = cfg
+        training = cfg.get("training", {})
+        data = cfg.get("data", {})
+        self.seed = int(training.get("seed", 1337))
+        self.batch_size = int(training.get("base_batch_size", 2))
+        self.num_epochs = int(training.get("num_epochs", 100))
+        self.patience = int(training.get("patience", 20))
+        self.zero_shot_window = int(training.get("zero_shot_window", 8))
+        compute_dtype = (jnp.bfloat16 if training.get("precision", "amp") == "amp"
+                         else jnp.float32)
+        self.compute_dtype = compute_dtype
+
+        self.mesh = make_mesh(n_model=int(training.get("model_parallel", 1)))
+        n_data = self.mesh.shape["data"]
+        assert self.batch_size % n_data == 0, \
+            f"batch_size {self.batch_size} must divide over data-parallel size {n_data}"
+
+        n_segments = int(data.get("n_segments_train", data.get("n_segments", 14)))
+        if "model" in cfg and "target" in cfg.get("model", {}):
+            self.model = instantiate_from_config(cfg["model"])
+        else:
+            self.model = build_avclip(
+                n_segments_train=n_segments, dtype=compute_dtype,
+                gather_for_loss=bool(cfg.get("model", {}).get("params", {})
+                                     .get("gather_for_loss", False)))
+
+        self.pipe_cfg = SyncPipelineConfig(
+            n_segments=n_segments,
+            crop_len_sec=float(data.get("crop_len_sec", 5)),
+            step_size_seg=float(data.get("step_size_seg", 0.5)),
+            input_size=int(data.get("input_size", 224)),
+            segment_size_vframes=int(data.get("segment_size_vframes", 16)),
+            do_offset=False,  # Stage I trains on in-sync segments
+            audio_jitter_sec=float(data.get("audio_jitter_sec", 0.0)),
+            p_horizontal_flip=float(data.get("p_horizontal_flip", 0.5)),
+        )
+        max_spec_t = (cfg.get("model", {}).get("params", {})
+                      .get("afeat_extractor", {}).get("params", {})
+                      .get("max_spec_t", 66))
+        self.mel_cfg = MelSpectrogramConfig(max_spec_t=int(max_spec_t))
+
+        lr = float(training.get("learning_rate", 1e-4))
+        total_steps = int(training.get("total_steps", 100_000))
+        warmup = int(training.get("warmup", 1000))
+        self.schedule = make_lr_schedule("cosine", lr, warmup, total_steps)
+        self._lr = lr
+        self._wd = float(training.get("weight_decay", 0.2))
+        self._clip = training.get("max_clip_norm", 1.0)
+
+        logdir = cfg.get("logging", {}).get("logdir", "./logs/avclip_models")
+        self.logger = ExperimentLogger(
+            logdir, cfg=cfg if isinstance(cfg, dict) else None,
+            is_master=jax.process_index() == 0,
+            log_code_state=bool(cfg.get("logging", {}).get("log_code_state", False)))
+        self.ckpt = CheckpointManager(str(self.logger.logdir / "ckpts"))
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def _make_tx(self, params):
+        # AdamW with no weight decay on 1-D params (gains/biases)
+        # (ref: train_clip.py:267-278)
+        mask = jax.tree.map(lambda p: p.ndim >= 2, params)
+        return make_optimizer("adamw", lr=self.schedule, weight_decay=self._wd,
+                              max_clip_norm=self._clip, weight_decay_mask=mask)
+
+    def _device_prep(self, batch, train: bool, rng=None):
+        vis = prepare_video_batch(batch["video"], rng=rng, train=train,
+                                  p_horizontal_flip=self.pipe_cfg.p_horizontal_flip,
+                                  dtype=self.compute_dtype)
+        mel = log_mel_spectrogram(batch["audio"], self.mel_cfg)
+        aud = jnp.swapaxes(mel, -1, -2).astype(self.compute_dtype)
+        return vis, aud
+
+    def _compile_steps(self):
+        model = self.model
+
+        def train_step(state, raw_batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            prep_rng, model_rng = jax.random.split(rng)
+            vis, aud = self._device_prep(raw_batch, train=True, rng=prep_rng)
+
+            def loss_fn(params):
+                out = model.apply({"params": params}, vis, aud,
+                                  deterministic=False,
+                                  rngs={"dropout": model_rng,
+                                        "droppath": jax.random.fold_in(model_rng, 1)})
+                return out["losses"]["segment_contrastive_loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
+            new_state, _ = state.apply_gradients(grads)
+            clamped = jnp.clip(new_state.trainable["logit_scale"],
+                               model.clamp_scale_min, model.clamp_scale_max)
+            new_state = new_state.replace(
+                trainable={**new_state.trainable, "logit_scale": clamped})
+            return new_state, {"loss": loss, "logit_scale": clamped,
+                               "loss_finite": jnp.isfinite(loss)}
+
+        def eval_step(params, raw_batch, window: int):
+            vis, aud = self._device_prep(raw_batch, train=False)
+            out = model.apply({"params": params}, vis, aud, deterministic=True)
+            b = raw_batch["video"].shape[0]
+            vfeat = out["rgb_features"][0].reshape(b, -1, model.n_embd)
+            afeat = out["audio_features"][0].reshape(b, -1, model.n_embd)
+            precision = zero_shot_precision(afeat.astype(jnp.float32),
+                                            vfeat.astype(jnp.float32), window)
+            return {"loss": out["losses"]["segment_contrastive_loss"],
+                    "precision": precision}
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step, static_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def fit(self, train_ds, valid_ds, num_workers: int = 4,
+            max_epochs: Optional[int] = None, decode_backend: Optional[str] = None,
+            pretrained_params: Optional[Dict] = None):
+        loaders = {
+            split: SyncDataLoader(ds, self.pipe_cfg, self.batch_size, num_workers,
+                                  self.seed, shuffle=split == "train",
+                                  process_index=jax.process_index(),
+                                  process_count=jax.process_count(),
+                                  decode_backend=decode_backend)
+            for split, ds in (("train", train_ds), ("valid", valid_ds))
+        }
+        first = next(iter(loaders["valid"]))
+        vis, aud = jax.eval_shape(
+            lambda b: self._device_prep(b, train=False),
+            {k: jnp.asarray(v) for k, v in first.items() if k in ("video", "audio")})
+        if pretrained_params is None:
+            params = self.model.init(jax.random.PRNGKey(self.seed),
+                                     jnp.zeros(vis.shape, jnp.float32),
+                                     jnp.zeros(aud.shape, jnp.float32))["params"]
+        else:
+            params = pretrained_params
+        shardings = param_shardings(params, self.mesh)
+        params = jax.tree.map(jax.device_put, params, shardings)
+        tx = self._make_tx(params)
+        # Stage I trains EVERYTHING: trainable = all params
+        state = SyncTrainState.create(params, tx,
+                                      trainable_keys=tuple(params.keys()))
+        self._compile_steps()
+        rng = jax.device_put(jax.random.PRNGKey(self.seed), replicated(self.mesh))
+        bs = batch_sharding(self.mesh)
+        stopper = EarlyStopper(self.patience, to_max=True)
+
+        epochs = max_epochs if max_epochs is not None else self.num_epochs
+        results = {}
+        for epoch in range(epochs):
+            loaders["train"].set_epoch(epoch)
+            loss_m = Meter()
+            for i, batch in enumerate(loaders["train"]):
+                state, metrics = self._train_step(state, batch_to_device(batch, bs), rng)
+                if not bool(metrics["loss_finite"]):
+                    raise RuntimeError(f"non-finite Stage-I loss at epoch {epoch} it {i}")
+                loss_m.update(float(metrics["loss"]))
+            self.logger.log_scalar("train/loss", loss_m.avg, epoch)
+
+            # zero-shot shifted-window validation
+            loaders["valid"].set_epoch(epoch)
+            prec_m, vloss_m = Meter(), Meter()
+            for batch in loaders["valid"]:
+                out = self._eval_step({**state.frozen, **state.trainable},
+                                      batch_to_device(batch, bs),
+                                      self.zero_shot_window)
+                prec_m.update(float(out["precision"]))
+                vloss_m.update(float(out["loss"]))
+            metrics_global = gather_dict({"precision": prec_m.avg, "loss": vloss_m.avg})
+            self.logger.log_dict(metrics_global, epoch, prefix="valid/")
+            self.logger.append_results("valid", {"epoch": epoch, **metrics_global})
+
+            if stopper.update(metrics_global["precision"]):
+                self.ckpt.save(epoch, {
+                    "trainable": jax.tree.map(np.asarray, state.trainable),
+                    "epoch": epoch},
+                    metrics={"best_metric": float(metrics_global["precision"])})
+            results = {"precision": metrics_global["precision"],
+                       "loss": metrics_global["loss"], "epoch": epoch}
+            if stopper.triggered:
+                logging.info(f"Stage-I early stop at epoch {epoch}")
+                break
+        self._state = state
+        return results
+
+
+def train(cfg: Dict[str, Any], **fit_kwargs):
+    """Entry point mirroring ref train_clip.py:main(cfg)."""
+    trainer = AVCLIPTrainer(cfg)
+    data_cfg = cfg.get("data", {})
+    ds_cfg = data_cfg.get("dataset", {})
+    train_ds = instantiate_from_config(ds_cfg, split="train",
+                                       vids_dir=data_cfg.get("vids_path"))
+    valid_ds = instantiate_from_config(ds_cfg, split="valid",
+                                       vids_dir=data_cfg.get("vids_path"))
+    return trainer.fit(train_ds, valid_ds, **fit_kwargs)

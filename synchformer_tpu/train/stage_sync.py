@@ -69,6 +69,8 @@ class SyncTrainer:
         n_model = int(training.get("model_parallel", 1))
         self.mesh = make_mesh(n_model=n_model)
         n_data = self.mesh.shape["data"]
+        assert self.batch_size % n_data == 0, \
+            f"batch_size {self.batch_size} must divide over data-parallel size {n_data}"
 
         # model
         n_segments = int(data.get("n_segments", 14))

@@ -1,0 +1,82 @@
+"""Stage-I trainer integration (tiny AVCLIP on synthetic media) + unit tests
+for the shifted-window zero-shot probe."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synchformer_tpu.data.datasets import SyntheticAV
+from synchformer_tpu.train.stage_clip import (
+    AVCLIPTrainer,
+    shifted_window_predictions,
+    zero_shot_precision,
+)
+
+D = 32
+
+TINY_AVCLIP_CFG = dict(
+    action="train_avclip",
+    model=dict(
+        target="synchformer_tpu.models.avclip.AVCLIP",
+        params=dict(
+            n_embd=D,
+            afeat_extractor=dict(
+                target="synchformer_tpu.models.ast_encoder.ASTEncoder",
+                params=dict(hidden_size=D, depth=1, num_heads=4, patch_size=16,
+                            frequency_stride=10, time_stride=10, num_mel_bins=128,
+                            max_spec_t=18, agg_time_module="AveragePooling")),
+            vfeat_extractor=dict(
+                target="synchformer_tpu.models.motionformer.MotionFormerEncoder",
+                params=dict(embed_dim=D, depth=1, num_heads=4, patch_size=8,
+                            z_block_size=2, temporal_resolution=2, img_size=16,
+                            drop_path_rate=0.0, agg_time_module="AveragePooling")),
+            aproj=dict(target="synchformer_tpu.models.bridges.DoNothingBridge",
+                       params={}),
+            vproj=dict(target="synchformer_tpu.models.bridges.DoNothingBridge",
+                       params={}),
+        )),
+    training=dict(base_batch_size=8, learning_rate=1e-4, num_epochs=1,
+                  precision="fp32", seed=0, zero_shot_window=2,
+                  total_steps=100, warmup=5),
+    data=dict(n_segments=4, crop_len_sec=1.0, input_size=16,
+              segment_size_vframes=4, step_size_seg=0.5, p_horizontal_flip=0.5),
+)
+
+
+def test_shifted_window_probe_perfect_features():
+    """Distinct per-shift features -> diagonal matches -> precision 1."""
+    b, s, d, w = 2, 6, 8, 3
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((b, s, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    afeat = vfeat = jnp.asarray(feats)
+    preds_a, preds_v = shifted_window_predictions(afeat, vfeat, w)
+    assert preds_a.shape == (b, s - w + 1)
+    prec = float(zero_shot_precision(afeat, vfeat, w))
+    assert prec == pytest.approx(1.0)
+
+
+def test_shifted_window_probe_shuffled_features():
+    """Unrelated modalities -> near-chance precision."""
+    b, s, d, w = 8, 10, 16, 4
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((b, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, d)).astype(np.float32)
+    prec = float(zero_shot_precision(jnp.asarray(a), jnp.asarray(v), w))
+    assert prec < 0.6  # 7 shifts -> chance ~0.14; noise can be lucky but not this lucky
+
+
+@pytest.mark.slow
+def test_avclip_trainer_end_to_end(tmp_path):
+    cfg = dict(TINY_AVCLIP_CFG)
+    cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False)
+    trainer = AVCLIPTrainer(cfg)
+    results = trainer.fit(SyntheticAV("train", n_clips=16),
+                          SyntheticAV("valid", n_clips=8),
+                          num_workers=2, max_epochs=1,
+                          decode_backend="synthetic")
+    assert np.isfinite(results["loss"])
+    assert 0.0 <= results["precision"] <= 1.0
+    assert trainer.ckpt.latest_step() is not None
+    # logit scale stayed clamped
+    scale = float(trainer._state.trainable["logit_scale"])
+    assert 0.001 <= scale <= 0.5
