@@ -1,0 +1,119 @@
+"""Single-clip offset prediction CLI (parity with ref: example.py).
+
+Usage:
+  python example.py exp_name=24-01-04T16-39-21 vid_path=data/clip.mp4 \
+      offset_sec=1.6 [v_start_i_sec=0.0] [ckpt_dir=./checkpoints]
+
+Loads a published reference checkpoint (PyTorch .pt, converted on the fly to
+flax params), decodes + re-encodes the clip to 25 fps / 16 kHz / 256-side if
+needed, applies the deterministic test transform with the requested fixed
+offset, runs the jitted TPU forward (device-side mel front-end included) and
+prints the top-5 offset probabilities on the 21-class grid.
+
+Expected outputs on the reference assets (ref: README.md:73-97):
+  +1.6 s on 3qesirWAGt4_20000_30000.mp4 -> p=0.8076 @ class 18 ("1.60")
+  -2.0 s (v_start 4.0) on ZYc410CE4Rg_0_10000.mp4 -> p=0.8291 @ class 0
+"""
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+# checkpoint-id -> download URL (a3s.fi object store), kept for capability
+# parity with ref: utils/utils.py:13-66 (this environment has no egress; the
+# files must already exist under ckpt_dir)
+FNAME2LINK = {
+    f"{exp}.pt": f"https://a3s.fi/swift/v1/AUTH_a235c0f452d648828f745589cde1219a/sync/sync_models/{exp}/{exp}.pt"
+    for exp in ("24-01-04T16-39-21", "24-01-02T10-00-53", "23-12-23T18-33-57",
+                "24-01-22T20-34-52")
+}
+
+
+def check_if_file_exists_else_download(path: str):
+    path = Path(path)
+    if path.exists():
+        return str(path)
+    url = FNAME2LINK.get(path.name)
+    if url is None:
+        raise FileNotFoundError(path)
+    logging.info(f"downloading {url} -> {path}")
+    import urllib.request
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    urllib.request.urlretrieve(url, str(path))
+    return str(path)
+
+
+def decode_single_video_prediction(logits: np.ndarray, grid: np.ndarray, k: int = 5):
+    probs = np.exp(logits - logits.max()) / np.exp(logits - logits.max()).sum()
+    order = np.argsort(-probs)[:k]
+    print("Prediction Result:")
+    for cls in order:
+        print(f"p={probs[cls]:.4f} ({logits[cls]:.4f}), "
+              f"label={cls} ({grid[cls]:.2f} sec)")
+    return order[0]
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    kv = dict(item.split("=", 1) for item in sys.argv[1:] if "=" in item)
+    exp_name = kv.get("exp_name", "24-01-04T16-39-21")
+    vid_path = kv["vid_path"]
+    offset_sec = float(kv.get("offset_sec", 0.0))
+    v_start_i_sec = float(kv.get("v_start_i_sec", 0.0))
+    ckpt_dir = kv.get("ckpt_dir", "./checkpoints")
+    fp32 = kv.get("fp32", "false").lower() == "true"
+
+    import jax
+    import jax.numpy as jnp
+
+    from synchformer_tpu.data.media import available_backends, get_video_and_audio, reencode_video
+    from synchformer_tpu.data.transforms import SyncPipelineConfig, make_class_grid, prepare_item
+    from synchformer_tpu.models.presets import build_synchformer
+    from synchformer_tpu.ops.mel import MelSpectrogramConfig, log_mel_spectrogram
+    from synchformer_tpu.ops.video import prepare_video_batch
+    from synchformer_tpu.utils.checkpoint import convert_sync_checkpoint, load_torch_checkpoint
+
+    ckpt_path = check_if_file_exists_else_download(f"{ckpt_dir}/{exp_name}.pt")
+    ckpt = load_torch_checkpoint(ckpt_path)
+    params = convert_sync_checkpoint(ckpt, target_seq_len=198)
+
+    dtype = jnp.float32 if fp32 else jnp.bfloat16
+    model = build_synchformer(n_segments=14, dtype=dtype)
+
+    video, audio, meta = get_video_and_audio(vid_path)
+    v_fps = meta["video"]["fps"][0]
+    a_rate = meta["audio"]["framerate"][0]
+    h, w = video.shape[1:3]
+    if (v_fps != 25 or a_rate != 16_000 or min(h, w) != 256) and \
+            "ffmpeg" in available_backends():
+        logging.info("re-encoding to 25 fps / 16 kHz / 256 side")
+        vid_path = reencode_video(vid_path)
+        video, audio, meta = get_video_and_audio(vid_path)
+
+    cfg = SyncPipelineConfig()
+    item = prepare_item(video, audio, cfg, np.random.default_rng(0), split="test",
+                        fixed_offset_sec=offset_sec,
+                        fixed_v_start_sec=v_start_i_sec)
+
+    @jax.jit
+    def infer(params, video_u8, pcm):
+        vis = prepare_video_batch(video_u8[None], train=False, dtype=dtype)
+        mel = log_mel_spectrogram(pcm[None], MelSpectrogramConfig())
+        aud = jnp.swapaxes(mel, -1, -2).astype(dtype)
+        _, logits = model.apply({"params": params}, vis, aud)
+        return logits[0].astype(jnp.float32)
+
+    logits = np.asarray(infer({"params": params}["params"],
+                              jnp.asarray(item["video"]), jnp.asarray(item["audio"])))
+    grid = make_class_grid(-2.0, 2.0, 21)
+    print(f"using offset={offset_sec} v_start={v_start_i_sec} "
+          f"(target class {int(item['offset_target'])})")
+    decode_single_video_prediction(logits, grid)
+
+
+if __name__ == "__main__":
+    main()

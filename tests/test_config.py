@@ -1,0 +1,65 @@
+"""Config system + shipped YAML configs: interpolation, CLI merge, sanity."""
+import pytest
+
+from synchformer_tpu.config import Config, load_config, merge_cli_overrides
+from synchformer_tpu.config.sanity import cfg_sanity_check_and_patch
+from synchformer_tpu.registry import instantiate_from_config
+
+CONFIG_DIR = "synchformer_tpu/config/configs"
+
+
+def test_interpolation_and_add_resolver():
+    cfg = Config({
+        "a": {"b": 768},
+        "c": "${a.b}",
+        "d": "${add: 2, 3}",
+        "e": "${add: 1, a.b}",
+        "s": "dim=${a.b}",
+    })
+    assert cfg.c == 768
+    assert cfg.d == 5
+    assert cfg.e == 769
+    assert cfg.s == "dim=768"
+
+
+def test_cli_override_wins():
+    cfg = Config({"training": {"seed": 1337, "lr": 1e-4}})
+    merge_cli_overrides(cfg, ["training.seed=7", "training.new_key=hello",
+                              "fresh.nested.flag=true"])
+    assert cfg.training.seed == 7
+    assert cfg.training.new_key == "hello"
+    assert cfg.fresh.nested.flag is True
+    assert cfg.training.lr == 1e-4
+
+
+@pytest.mark.parametrize("name", ["sync.yaml", "ft_synchability.yaml",
+                                  "segment_avclip.yaml"])
+def test_shipped_configs_load_and_pass_sanity(name):
+    cfg = load_config(f"{CONFIG_DIR}/{name}")
+    cfg_sanity_check_and_patch(cfg)
+    # interpolations resolve
+    assert cfg.model.target.startswith("synchformer_tpu.models")
+
+
+def test_sync_config_model_instantiates():
+    cfg = load_config(f"{CONFIG_DIR}/sync.yaml")
+    model = instantiate_from_config(cfg.model.to_dict())
+    # flax modules are dataclasses; construction validates field names
+    assert model.transformer["params"]["n_embd"] == 768
+    assert model.transformer["params"]["off_head_cfg"]["params"]["out_features"] == 21
+
+
+def test_sanity_rejects_bad_combos():
+    cfg = load_config(f"{CONFIG_DIR}/sync.yaml")
+    cfg.data.n_segments = 30  # cannot fit 30 half-overlapping segments in 5 s
+    with pytest.raises(AssertionError):
+        cfg_sanity_check_and_patch(cfg)
+
+    cfg2 = load_config(f"{CONFIG_DIR}/sync.yaml")
+    cfg2.data.offset_type = "uniform_binary"  # needs prob_oos
+    with pytest.raises(AssertionError):
+        cfg_sanity_check_and_patch(cfg2)
+
+    cfg3 = Config({"action": "bogus"})
+    with pytest.raises(AssertionError):
+        cfg_sanity_check_and_patch(cfg3)
