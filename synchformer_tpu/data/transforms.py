@@ -361,6 +361,8 @@ def prepare_item(video: np.ndarray, audio: np.ndarray, cfg: SyncPipelineConfig,
       video (S, 16, input, input, C) uint8, audio (S, seg_a) f32, plus targets.
     Pixel-level work (normalize/flip/jitter/mel) happens on device.
     """
+    from synchformer_tpu.data import avstage
+
     is_train = split == "train"
     v_len, h, w, c = video.shape
     a_len = audio.shape[0]
@@ -368,12 +370,10 @@ def prepare_item(video: np.ndarray, audio: np.ndarray, cfg: SyncPipelineConfig,
     # 1) trim to equal duration (EqualifyFromRight)
     v_len, a_len = equalify_from_right(v_len, a_len, cfg.vfps, cfg.afps,
                                        cfg.clip_max_len_sec)
-    video, audio = video[:v_len], audio[:a_len]
 
-    # 2) spatial crop indices (pixels sliced here — cheap uint8 view)
+    # 2) spatial crop indices (applied inside the fused native gather below)
     ci, cj = spatial_crop_indices(h, w, (cfg.input_size, cfg.input_size),
                                   cfg.is_spatial_crop_random and is_train, rng)
-    video = video[:, ci:ci + cfg.input_size, cj:cj + cfg.input_size]
 
     # 3) temporal crop + offset label
     grid = cfg.class_grid()
@@ -393,19 +393,24 @@ def prepare_item(video: np.ndarray, audio: np.ndarray, cfg: SyncPipelineConfig,
             prob_oos=cfg.prob_oos,
             fixed_offset_sec=fixed_offset_sec, fixed_v_start_sec=fixed_v_start_sec,
             is_random_crop=is_train)
-    video = video[crop.v_start_i:crop.v_start_i + crop.v_len]
-    audio = audio[crop.a_start_i:crop.a_start_i + crop.a_len]
 
-    # 4) sliding-window segmentation
+    # 4) sliding-window segmentation; the actual pixel/PCM copies run as ONE
+    # fused crop+gather in the native avstage runtime (numpy fallback inside)
     v_ranges, a_ranges = segment_ranges(
         crop.v_len, crop.a_len, cfg.vfps, cfg.afps, cfg.segment_size_vframes,
         cfg.n_segments, cfg.step_size_seg,
         is_start_random=cfg.is_temporal_crop_random and is_train, rng=rng)
-    video_seg, audio_seg = gather_segments(video, audio, v_ranges, a_ranges)
+    seg_a = int(a_ranges[0, 1] - a_ranges[0, 0])
+    video_seg = avstage.gather_video_segments(
+        video, crop.v_start_i + v_ranges[:, 0], cfg.segment_size_vframes,
+        (ci, cj), (cfg.input_size, cfg.input_size))
+    audio_seg = avstage.gather_audio_segments(
+        np.ascontiguousarray(audio, dtype=np.float32),
+        crop.a_start_i + a_ranges[:, 0], seg_a)
 
     out = {
-        "video": video_seg.astype(np.uint8),            # (S, 16, H', W', C)
-        "audio": audio_seg.astype(np.float32),          # (S, seg_a)
+        "video": video_seg,                             # (S, 16, H', W', C) u8
+        "audio": audio_seg,                             # (S, seg_a) f32
         "offset_sec": np.float32(crop.offset_sec),
         "v_start_i_sec": np.float32(crop.v_start_i_sec),
     }
