@@ -28,6 +28,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persist compiled executables across runs (the fused pallas tower takes
+    # minutes to compile cold; warm runs hit the cache)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from synchformer_tpu.models.presets import build_synchformer
     from synchformer_tpu.ops.mel import log_mel_spectrogram
 

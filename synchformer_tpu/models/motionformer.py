@@ -65,6 +65,7 @@ class DividedAttention(nn.Module):
     num_heads: int
     proj_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"  # 'xla' (reference path, differentiable) | 'pallas'
 
     @nn.compact
     def __call__(self, x, num_frames: int, mode: str, keep_mask=None,
@@ -75,6 +76,18 @@ class DividedAttention(nn.Module):
         f = num_frames
         n = (seq - 1) // f
         assert 1 + f * n == seq, (seq, f)
+
+        if self.attn_impl == "pallas" and keep_mask is None:
+            from synchformer_tpu.ops.pallas.divided_attention import (
+                divided_attention_pallas,
+            )
+
+            qkv_flat = nn.Dense(3 * d, use_bias=True, dtype=self.dtype,
+                                name="qkv")(x)
+            out = divided_attention_pallas(qkv_flat, h, f, mode)
+            out = out.reshape(b, seq, d)
+            out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_dropout)(out, deterministic=deterministic)
 
         qkv = nn.Dense(3 * d, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, seq, 3, h, dh)
@@ -143,13 +156,14 @@ class DividedSpaceTimeBlock(nn.Module):
     drop_path: float = 0.0
     ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
         d = x.shape[-1]
         t_out = DividedAttention(
             num_heads=self.num_heads, proj_dropout=self.dropout, dtype=self.dtype,
-            name="timeattn",
+            attn_impl=self.attn_impl, name="timeattn",
         )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm3")(x),
           num_frames=self.num_frames, mode="time", keep_mask=keep_mask,
           deterministic=deterministic)
@@ -157,7 +171,7 @@ class DividedSpaceTimeBlock(nn.Module):
 
         s_out = DividedAttention(
             num_heads=self.num_heads, proj_dropout=self.dropout, dtype=self.dtype,
-            name="attn",
+            attn_impl=self.attn_impl, name="attn",
         )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x),
           num_frames=self.num_frames, mode="space", keep_mask=keep_mask,
           deterministic=deterministic)
@@ -207,6 +221,7 @@ class MotionFormerEncoder(nn.Module):
     max_segments: Optional[int] = None
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"  # 'pallas' fuses divided attention in VMEM (fwd path)
     # reference-config compatibility: checkpoint loading/conversion is handled
     # by synchformer_tpu.utils.checkpoint, not the module (ref: motionformer.py:52-114)
     ckpt_path: Optional[str] = None
@@ -276,7 +291,7 @@ class MotionFormerEncoder(nn.Module):
             tokens = block_cls(
                 num_heads=self.num_heads, num_frames=f, mlp_ratio=self.mlp_ratio,
                 dropout=self.drop_rate, drop_path=float(dpr[i]), ln_eps=self.ln_eps,
-                dtype=self.dtype, name=f"blocks_{i}",
+                dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
             )(tokens, tok_keep, deterministic)
 
         # feature extraction: drop CLS, LayerNorm, restore (t, h, w)

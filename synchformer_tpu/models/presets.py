@@ -35,9 +35,10 @@ def ast_cfg(dtype=jnp.float32, agg_time_module: str = "Identity",
 
 def motionformer_cfg(dtype=jnp.float32, agg_time_module: str = "Identity",
                      add_global_repr: bool = False, max_segments: Optional[int] = None,
-                     remat: bool = False) -> dict:
+                     remat: bool = False, attn_impl: str = "xla") -> dict:
     """Motionformer tower config (ref: configs/sync.yaml:18-27,
-    divided_224_16x4.yaml)."""
+    divided_224_16x4.yaml). attn_impl='pallas' selects the fused divided
+    attention kernel (TPU forward path)."""
     return dict(
         target="synchformer_tpu.models.motionformer.MotionFormerEncoder",
         params=dict(
@@ -45,7 +46,7 @@ def motionformer_cfg(dtype=jnp.float32, agg_time_module: str = "Identity",
             agg_space_module="TransformerEncoderLayer",
             agg_time_module=agg_time_module,
             add_global_repr=add_global_repr, max_segments=max_segments,
-            remat=remat, dtype=dtype,
+            remat=remat, dtype=dtype, attn_impl=attn_impl,
         ),
     )
 
@@ -78,12 +79,23 @@ def global_transformer_cfg(n_segments: int = 14, num_cls: int = N_OFFSET_CLS,
     )
 
 
+def default_attn_impl() -> str:
+    """Fused pallas divided attention on TPU, XLA path elsewhere."""
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def build_synchformer(n_segments: int = 14, syncability: bool = False,
-                      dtype=jnp.float32, remat: bool = False) -> Synchformer:
+                      dtype=jnp.float32, remat: bool = False,
+                      attn_impl: Optional[str] = None) -> Synchformer:
     """Flagship Stage II/III model (ref: configs/sync.yaml model section)."""
+    if attn_impl is None:
+        attn_impl = default_attn_impl()
     return Synchformer(
         afeat_extractor=ast_cfg(dtype=dtype, remat=remat),
-        vfeat_extractor=motionformer_cfg(dtype=dtype, remat=remat),
+        vfeat_extractor=motionformer_cfg(dtype=dtype, remat=remat,
+                                         attn_impl=attn_impl),
         aproj=linear_proj_cfg(dtype=dtype),
         vproj=linear_proj_cfg(dtype=dtype),
         transformer=global_transformer_cfg(n_segments=n_segments,

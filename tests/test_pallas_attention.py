@@ -1,0 +1,40 @@
+"""Pallas divided-attention kernel == XLA reference path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from synchformer_tpu.models.motionformer import DividedAttention, MotionFormerEncoder
+
+
+@pytest.mark.parametrize("mode", ["space", "time"])
+def test_pallas_kernel_matches_xla(rng, mode):
+    f, n, heads, dh = 3, 8, 4, 8
+    seq, d = 1 + f * n, heads * dh
+    x = jnp.asarray(rng.standard_normal((2, seq, d)).astype(np.float32))
+
+    attn_x = DividedAttention(num_heads=heads, attn_impl="xla")
+    variables = attn_x.init(jax.random.PRNGKey(0), x, f, mode)
+    golden = attn_x.apply(variables, x, f, mode)
+
+    attn_p = DividedAttention(num_heads=heads, attn_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        got = attn_p.apply(variables, x, f, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_encoder_matches_xla(rng):
+    params = dict(embed_dim=32, depth=2, num_heads=4, patch_size=8, z_block_size=2,
+                  temporal_resolution=2, img_size=16, drop_path_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((1, 2, 4, 16, 16, 3)).astype(np.float32))
+    model_x = MotionFormerEncoder(**params)
+    variables = model_x.init(jax.random.PRNGKey(0), x)
+    golden, _ = model_x.apply(variables, x)
+
+    model_p = MotionFormerEncoder(**params, attn_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = model_p.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               rtol=2e-4, atol=2e-5)
