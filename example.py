@@ -107,8 +107,8 @@ def main():
         _, logits = model.apply({"params": params}, vis, aud)
         return logits[0].astype(jnp.float32)
 
-    logits = np.asarray(infer({"params": params}["params"],
-                              jnp.asarray(item["video"]), jnp.asarray(item["audio"])))
+    logits = np.asarray(infer(params, jnp.asarray(item["video"]),
+                              jnp.asarray(item["audio"])))
     grid = make_class_grid(-2.0, 2.0, 21)
     print(f"using offset={offset_sec} v_start={v_start_i_sec} "
           f"(target class {int(item['offset_target'])})")

@@ -53,7 +53,12 @@ def load_fixed_offsets(splits_path: str, dataset_name: str, split: str,
     for p in paths:
         with open(p) as f:
             reader = csv.reader(f)
-            header = next(reader)
+            if dataset_name == "k700_2020":
+                # k700 CSVs have no header and vstart precedes offset
+                # (ref: dataset_utils.py:29-31)
+                header = ["path", "vstart_sec", "offset_sec", "oos_target"]
+            else:
+                header = next(reader)
             for line in reader:
                 row = dict(zip(header, line))
                 vid = row.pop("path")

@@ -133,6 +133,15 @@ def synthetic_av(duration_sec: float = 10.0, fps: float = 25.0,
     return video, audio, meta
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _synthetic_cached(path: str):
+    logging.debug("serving synthetic AV for %s", path)
+    return synthetic_av(seed=abs(hash(path)) % (2 ** 31))
+
+
 def get_video_and_audio(path: str, end_sec: Optional[float] = None,
                         backend: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """Decode an mp4 -> (video (Tv,H,W,C) u8, mono audio (Ta,) f32, meta)
@@ -145,9 +154,29 @@ def get_video_and_audio(path: str, end_sec: Optional[float] = None,
     if backend == "ffmpeg":
         return _decode_ffmpeg(path, end_sec)
     if backend == "synthetic":
-        logging.warning("no media decoder available; serving synthetic AV for %s", path)
-        return synthetic_av(seed=abs(hash(str(path))) % (2 ** 31))
+        return _synthetic_cached(str(path))
     raise ValueError(f"unknown backend {backend}")
+
+
+def get_audio_stream(path: str, get_meta: bool = False):
+    """Load a mono waveform from the clip's .wav sibling (capability of ref:
+    dataset_utils.py:88-99, used by Stage-I feature-extractor training)."""
+    from scipy.io import wavfile
+
+    wav_path = maybe_cache_file(str(Path(path).with_suffix(".wav")))
+    rate, data = wavfile.read(wav_path)
+    if data.dtype == np.int16:
+        wave = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        wave = data.astype(np.float32) / 2147483648.0
+    else:
+        wave = data.astype(np.float32)
+    if wave.ndim == 2:
+        wave = wave.mean(axis=1)
+    if get_meta:
+        meta = {"audio": {"duration": [len(wave) / rate], "framerate": [float(rate)]}}
+        return wave, meta
+    return wave
 
 
 def reencode_video(path: str, vfps: int = 25, afps: int = 16_000,

@@ -206,6 +206,7 @@ class MotionFormerEncoder(nn.Module):
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
+    attn_layer: str = "divided"  # 'divided' (default cfg) | 'joint' (joint_224_16x4)
     patch_size: int = 16
     z_block_size: int = 2
     temporal_resolution: int = 8  # frames after 3D patching (16 / z_block)
@@ -273,26 +274,48 @@ class MotionFormerEncoder(nn.Module):
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(tokens.dtype), (b * s, 1, d)), tokens], axis=1)
 
-        # 'separate' positional embedding (ref: video_model_builder.py:246-254)
-        pos_spatial = self.param("pos_embed", trunc02, (1, n_spatial + 1, d))
-        pos_temporal = self.param("temp_embed", nn.initializers.zeros,
-                                  (1, self.temporal_resolution, d))
-        tile_pos = jnp.tile(pos_spatial[:, 1:], (1, f, 1))
-        tile_temp = jnp.repeat(pos_temporal, n_spatial, axis=1)
-        full_pos = jnp.concatenate([pos_spatial[:, :1], tile_pos + tile_temp], axis=1)
-        tokens = tokens + full_pos.astype(tokens.dtype)
+        if self.attn_layer == "joint":
+            # joint positional embedding (ref: video_model_builder.py:79-81,255-256)
+            st = self.param("st_embed", trunc02, (1, f * n_spatial + 1, d))
+            tokens = tokens + st.astype(tokens.dtype)
+        else:
+            # 'separate' positional embedding (ref: video_model_builder.py:246-254)
+            pos_spatial = self.param("pos_embed", trunc02, (1, n_spatial + 1, d))
+            pos_temporal = self.param("temp_embed", nn.initializers.zeros,
+                                      (1, self.temporal_resolution, d))
+            tile_pos = jnp.tile(pos_spatial[:, 1:], (1, f, 1))
+            tile_temp = jnp.repeat(pos_temporal, n_spatial, axis=1)
+            full_pos = jnp.concatenate([pos_spatial[:, :1], tile_pos + tile_temp],
+                                       axis=1)
+            tokens = tokens + full_pos.astype(tokens.dtype)
         tokens = nn.Dropout(self.pos_dropout)(tokens, deterministic=deterministic)
 
         dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
-        block_cls = DividedSpaceTimeBlock
-        if self.remat:
-            block_cls = nn.remat(DividedSpaceTimeBlock, static_argnums=(3,))
-        for i in range(self.depth):
-            tokens = block_cls(
-                num_heads=self.num_heads, num_frames=f, mlp_ratio=self.mlp_ratio,
-                dropout=self.drop_rate, drop_path=float(dpr[i]), ln_eps=self.ln_eps,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
-            )(tokens, tok_keep, deterministic)
+        if self.attn_layer == "joint":
+            # joint space-time attention: plain pre-LN ViT blocks over all
+            # 1+f*n tokens (ref: vit_helper.py:45-77,297-329)
+            from synchformer_tpu.models.layers import PreLNBlock
+
+            block_cls = PreLNBlock
+            if self.remat:
+                block_cls = nn.remat(PreLNBlock, static_argnums=(3,))
+            for i in range(self.depth):
+                tokens = block_cls(
+                    num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                    qkv_bias=True, ln_eps=self.ln_eps, attn_dropout=0.0,
+                    resid_dropout=self.drop_rate, drop_path=float(dpr[i]),
+                    dtype=self.dtype, name=f"blocks_{i}",
+                )(tokens, tok_keep, deterministic)
+        else:
+            block_cls = DividedSpaceTimeBlock
+            if self.remat:
+                block_cls = nn.remat(DividedSpaceTimeBlock, static_argnums=(3,))
+            for i in range(self.depth):
+                tokens = block_cls(
+                    num_heads=self.num_heads, num_frames=f, mlp_ratio=self.mlp_ratio,
+                    dropout=self.drop_rate, drop_path=float(dpr[i]), ln_eps=self.ln_eps,
+                    dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
+                )(tokens, tok_keep, deterministic)
 
         # feature extraction: drop CLS, LayerNorm, restore (t, h, w)
         # (ref: visual/motionformer.py:229-246)

@@ -193,6 +193,24 @@ class SyncTrainer:
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
+    def dump_input_reconstruction(self, batch: Dict[str, np.ndarray], tag: str):
+        """Invert the pipeline for the first item and write what the model
+        actually ingests — the reference's de-facto data-pipeline integration
+        test at iteration 0 of every phase (ref: train_sync.py:166-173,
+        utils/logger.py:162-242)."""
+        if jax.process_index() != 0:
+            return
+        try:
+            from synchformer_tpu.utils.viz import save_input_reconstruction
+
+            spec = np.asarray(jnp.swapaxes(
+                log_mel_spectrogram(jnp.asarray(batch["audio"][0]), self.mel_cfg),
+                -1, -2))  # (S, T, F) as the model sees it
+            save_input_reconstruction(batch["video"][0], spec,
+                                      str(self.logger.logdir / "recon"), prefix=tag)
+        except Exception as e:  # observability only — never kill training
+            logging.warning(f"input reconstruction failed: {e}")
+
     def run_phase(self, state: SyncTrainState, loader: SyncDataLoader, epoch: int,
                   phase: str, rng) -> Dict[str, float]:
         bs = batch_sharding(self.mesh)
@@ -201,6 +219,8 @@ class SyncTrainer:
             meters = {"loss": Meter(), "accuracy_1": Meter(), "samples_per_sec": Meter()}
             t0 = time.perf_counter()
             for i, batch in enumerate(loader):
+                if i == 0 and epoch == 0:
+                    self.dump_input_reconstruction(batch, f"{phase}_e{epoch}")
                 batch_dev = batch_to_device(batch, bs)
                 state, metrics = self._train_step(state, batch_dev, rng)
                 loss = float(metrics["loss"])
@@ -235,6 +255,46 @@ class SyncTrainer:
         return metrics
 
     # ------------------------------------------------------------------
+    def maybe_resume(self, state: SyncTrainState) -> tuple:
+        """Resume/finetune semantics (ref: scripts/train_sync.py:68-99,
+        train_utils.py:251-290): resume restores trainable params + optimizer
+        + epoch counter; finetune loads params only and resets counters."""
+        training = self.cfg.get("training", {})
+        start_epoch = 0
+        ckpt_path = training.get("ckpt_path")
+        if training.get("resume") and self.ckpt.latest_step() is not None:
+            payload = self.ckpt.restore(template={
+                "trainable": state.trainable, "step": 0, "epoch": 0})
+            state = state.replace(trainable=payload["trainable"],
+                                  step=jnp.asarray(payload["step"], jnp.int32))
+            start_epoch = int(payload["epoch"]) + 1
+            logging.info(f"resumed from epoch {start_epoch - 1}")
+        elif training.get("finetune") and ckpt_path:
+            from synchformer_tpu.utils.checkpoint import (
+                convert_sync_checkpoint,
+                load_torch_checkpoint,
+            )
+
+            params = convert_sync_checkpoint(load_torch_checkpoint(ckpt_path))
+            trainable = {k: v for k, v in params.items() if k in state.trainable}
+            frozen = {k: v for k, v in params.items() if k not in state.trainable}
+            state = state.replace(trainable=trainable, frozen=frozen)
+            logging.info(f"finetuning from {ckpt_path} (counters reset)")
+        return state, start_epoch
+
+    def _maybe_profile(self, epoch: int):
+        """jax profiler trace for the first training epoch when enabled —
+        the equivalent of the reference's vestigial trace/profile flags
+        (SURVEY.md §5 tracing)."""
+        if self.cfg.get("training", {}).get("trace") and epoch == 0:
+            import jax.profiler
+
+            trace_dir = str(self.logger.logdir / "profile")
+            return jax.profiler.trace(trace_dir)
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def fit(self, train_ds, valid_ds, test_ds=None, num_workers: int = 6,
             pretrained_params: Optional[Dict] = None, iter_times: int = 1,
             max_epochs: Optional[int] = None, decode_backend: Optional[str] = None):
@@ -252,6 +312,7 @@ class SyncTrainer:
         }
         first_batch = next(iter(loaders["valid"]))
         state = self.build_state(first_batch, pretrained_params)
+        state, start_epoch = self.maybe_resume(state)
         self._compile_steps()
         self._state = state
         rng = jax.device_put(jax.random.PRNGKey(self.seed), replicated(self.mesh))
@@ -259,9 +320,10 @@ class SyncTrainer:
         stopper = EarlyStopper(self.patience, to_max=True)
         best_metrics: Dict[str, float] = {}
         epochs = max_epochs if max_epochs is not None else self.num_epochs
-        for epoch in range(epochs):
-            train_metrics = self.run_phase(self._state, loaders["train"], epoch,
-                                           "train", rng)
+        for epoch in range(start_epoch, epochs):
+            with self._maybe_profile(epoch):
+                train_metrics = self.run_phase(self._state, loaders["train"], epoch,
+                                               "train", rng)
             self.logger.log_dict(train_metrics, epoch, prefix="train/")
             valid_metrics = self.run_phase(self._state, loaders["valid"], epoch,
                                            "valid", rng)

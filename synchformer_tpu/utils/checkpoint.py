@@ -262,14 +262,15 @@ def _strip_prefixes(sd: Mapping, prefixes) -> Dict[str, Any]:
 
 
 def convert_sync_checkpoint(ckpt: Mapping, target_seq_len: Optional[int] = None,
-                            n_layer: int = 3) -> Dict:
+                            n_layer: int = 3, tower_depth: int = 12) -> Dict:
     """Stage II/III checkpoint ({'model': sd, ...} or a bare sd) ->
     Synchformer params tree."""
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, Mapping) else ckpt
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
     params = {
-        "v_encoder": convert_motionformer(sd, "vfeat_extractor."),
-        "a_encoder": convert_ast(sd, "afeat_extractor."),
+        "v_encoder": convert_motionformer(sd, "vfeat_extractor.", depth=tower_depth),
+        "a_encoder": convert_ast(sd, "afeat_extractor.", depth=tower_depth,
+                                 max_patches=None),
         "v_proj": {"linear": _linear(sd, "vproj")},
         "a_proj": {"linear": _linear(sd, "aproj")},
         "sync_transformer": convert_global_transformer(
