@@ -200,6 +200,15 @@ class AVCLIPTrainer:
         # Stage I trains EVERYTHING: trainable = all params
         state = SyncTrainState.create(params, tx,
                                       trainable_keys=tuple(params.keys()))
+        # resume-latest discovery (ref: train_clip.py:126-159)
+        start_epoch = 0
+        if self.cfg.get("training", {}).get("resume") == "latest" \
+                and self.ckpt.latest_step() is not None:
+            payload = self.ckpt.restore(template={"trainable": state.trainable,
+                                                  "epoch": 0})
+            state = state.replace(trainable=payload["trainable"])
+            start_epoch = int(payload["epoch"]) + 1
+            logging.info(f"Stage-I resumed from epoch {start_epoch - 1}")
         self._compile_steps()
         rng = jax.device_put(jax.random.PRNGKey(self.seed), replicated(self.mesh))
         bs = batch_sharding(self.mesh)
@@ -207,7 +216,7 @@ class AVCLIPTrainer:
 
         epochs = max_epochs if max_epochs is not None else self.num_epochs
         results = {}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             loaders["train"].set_epoch(epoch)
             loss_m = Meter()
             for i, batch in enumerate(loaders["train"]):
