@@ -78,13 +78,14 @@ class DividedAttention(nn.Module):
         assert 1 + f * n == seq, (seq, f)
 
         if self.attn_impl == "pallas" and keep_mask is None:
-            from synchformer_tpu.ops.pallas.divided_attention import (
-                divided_attention_pallas,
+            # custom-vjp wrapper: fused pallas forward AND backward kernels
+            from synchformer_tpu.ops.pallas.divided_attention_bwd import (
+                divided_attention,
             )
 
             qkv_flat = nn.Dense(3 * d, use_bias=True, dtype=self.dtype,
                                 name="qkv")(x)
-            out = divided_attention_pallas(qkv_flat, h, f, mode)
+            out = divided_attention(qkv_flat, h, f, mode)
             out = out.reshape(b, seq, d)
             out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_dropout)(out, deterministic=deterministic)

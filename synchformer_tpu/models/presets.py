@@ -104,15 +104,21 @@ def build_synchformer(n_segments: int = 14, syncability: bool = False,
 
 
 def build_avclip(n_segments_train: int = 14, dtype=jnp.float32,
-                 remat: bool = False, gather_for_loss: bool = False) -> AVCLIP:
-    """Stage I contrastive model (ref: configs/segment_avclip.yaml)."""
+                 remat: bool = False, gather_for_loss: bool = False,
+                 attn_impl: Optional[str] = None) -> AVCLIP:
+    """Stage I contrastive model (ref: configs/segment_avclip.yaml). The
+    pallas divided attention has a custom VJP (divided_attention_bwd.py), so
+    the fast path is usable even though Stage I trains the towers."""
+    if attn_impl is None:
+        attn_impl = default_attn_impl()
     nothing = dict(target="synchformer_tpu.models.bridges.DoNothingBridge", params={})
     return AVCLIP(
         n_embd=D,
         afeat_extractor=ast_cfg(dtype=dtype, agg_time_module="AveragePooling",
                                 max_segments=n_segments_train, remat=remat),
         vfeat_extractor=motionformer_cfg(dtype=dtype, agg_time_module="AveragePooling",
-                                         max_segments=n_segments_train, remat=remat),
+                                         max_segments=n_segments_train, remat=remat,
+                                         attn_impl=attn_impl),
         aproj=nothing, vproj=nothing,
         init_scale=0.07, clamp_scale_min=0.001, clamp_scale_max=0.5,
         gather_for_loss=gather_for_loss,
