@@ -319,6 +319,26 @@ def gather_segments(video: np.ndarray, audio: np.ndarray,
     return video[v_idx], audio[a_idx]
 
 
+def bilinear_resize_u8(frames: np.ndarray, out_hw) -> np.ndarray:
+    """Vectorized bilinear resize of (T, H, W, C) uint8 frames (host-side;
+    used by the sometimes-smaller-crop-then-upscale aug,
+    ref: transforms.py:110-137)."""
+    t, h, w, c = frames.shape
+    oh, ow = out_hw
+    ys = (np.arange(oh) + 0.5) * h / oh - 0.5
+    xs = (np.arange(ow) + 0.5) * w / ow - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1).astype(np.float32)[None, :, None, None]
+    wx = np.clip(xs - x0, 0, 1).astype(np.float32)[None, None, :, None]
+    f = frames.astype(np.float32)
+    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
+    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    return np.clip(top * (1 - wy) + bot * wy, 0, 255).astype(np.uint8)
+
+
 @dataclasses.dataclass
 class SyncPipelineConfig:
     """Knobs of the sync data pipeline (ref: configs/sync.yaml data section)."""
@@ -336,6 +356,8 @@ class SyncPipelineConfig:
     n_segments: int = 14
     step_size_seg: float = 0.5
     audio_jitter_sec: float = 0.05
+    sometimes_upscale_p: float = 0.0
+    smaller_input_size: int = 192
     p_horizontal_flip: float = 0.5
     p_gray_scale: float = 0.0
     p_color_jitter: float = 0.0
@@ -371,8 +393,13 @@ def prepare_item(video: np.ndarray, audio: np.ndarray, cfg: SyncPipelineConfig,
     v_len, a_len = equalify_from_right(v_len, a_len, cfg.vfps, cfg.afps,
                                        cfg.clip_max_len_sec)
 
-    # 2) spatial crop indices (applied inside the fused native gather below)
-    ci, cj = spatial_crop_indices(h, w, (cfg.input_size, cfg.input_size),
+    # 2) spatial crop indices (applied inside the fused native gather below);
+    # with prob sometimes_upscale_p a smaller crop is taken and upscaled back
+    # to input_size (RGBSpatialCropSometimesUpscale, ref: transforms.py:110-137)
+    crop_size = cfg.input_size
+    if is_train and cfg.sometimes_upscale_p and rng.random() < cfg.sometimes_upscale_p:
+        crop_size = cfg.smaller_input_size
+    ci, cj = spatial_crop_indices(h, w, (crop_size, crop_size),
                                   cfg.is_spatial_crop_random and is_train, rng)
 
     # 3) temporal crop + offset label
@@ -403,7 +430,13 @@ def prepare_item(video: np.ndarray, audio: np.ndarray, cfg: SyncPipelineConfig,
     seg_a = int(a_ranges[0, 1] - a_ranges[0, 0])
     video_seg = avstage.gather_video_segments(
         video, crop.v_start_i + v_ranges[:, 0], cfg.segment_size_vframes,
-        (ci, cj), (cfg.input_size, cfg.input_size))
+        (ci, cj), (crop_size, crop_size))
+    if crop_size != cfg.input_size:
+        sshape = video_seg.shape
+        video_seg = bilinear_resize_u8(
+            video_seg.reshape(-1, crop_size, crop_size, sshape[-1]),
+            (cfg.input_size, cfg.input_size)).reshape(
+            sshape[0], sshape[1], cfg.input_size, cfg.input_size, sshape[-1])
     audio_seg = avstage.gather_audio_segments(
         np.ascontiguousarray(audio, dtype=np.float32),
         crop.a_start_i + a_ranges[:, 0], seg_a)

@@ -95,6 +95,7 @@ class AVCLIPTrainer:
             do_offset=False,  # Stage I trains on in-sync segments
             audio_jitter_sec=float(data.get("audio_jitter_sec", 0.0)),
             p_horizontal_flip=float(data.get("p_horizontal_flip", 0.5)),
+            p_audio_aug=float(data.get("p_audio_aug", 0.0)),
         )
         max_spec_t = (cfg.get("model", {}).get("params", {})
                       .get("afeat_extractor", {}).get("params", {})
@@ -130,7 +131,19 @@ class AVCLIPTrainer:
         vis = prepare_video_batch(batch["video"], rng=rng, train=train,
                                   p_horizontal_flip=self.pipe_cfg.p_horizontal_flip,
                                   dtype=self.compute_dtype)
-        mel = log_mel_spectrogram(batch["audio"], self.mel_cfg)
+        pcm = batch["audio"]
+        p_aug = self.pipe_cfg.p_audio_aug
+        if train and rng is not None and p_aug > 0:
+            # device-side audio augs (ref: configs/segment_avclip.yaml p=0.2;
+            # volume/noise/lowpass — see ops/dsp.py for the sox equivalences)
+            from synchformer_tpu.ops import dsp
+
+            k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, 7), 3)
+            pcm = dsp.random_volume(pcm, k1, p_aug, gain=2.0)
+            pcm = dsp.random_lowpass(pcm, k2, p_aug, self.pipe_cfg.afps,
+                                     cutoff_freq=100.0)
+            pcm = dsp.random_gauss_noise(pcm, k3, p_aug, amplitude=0.01)
+        mel = log_mel_spectrogram(pcm, self.mel_cfg)
         aud = jnp.swapaxes(mel, -1, -2).astype(self.compute_dtype)
         return vis, aud
 

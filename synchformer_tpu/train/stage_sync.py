@@ -41,11 +41,14 @@ from synchformer_tpu.utils.logger import EarlyStopper, ExperimentLogger, Meter
 
 def _device_preprocess(batch: Dict[str, jnp.ndarray], train: bool, rng=None,
                        mel_cfg: MelSpectrogramConfig = MelSpectrogramConfig(),
-                       p_flip: float = 0.5, dtype=jnp.float32):
+                       p_flip: float = 0.5, p_color_jitter: float = 0.0,
+                       p_gray_scale: float = 0.0, dtype=jnp.float32):
     """uint8 frames + raw PCM -> normalized model inputs (fused into the jit
     step: the reference does all of this per CPU worker)."""
     vis = prepare_video_batch(batch["video"], rng=rng, train=train,
-                              p_horizontal_flip=p_flip, dtype=dtype)
+                              p_horizontal_flip=p_flip,
+                              p_color_jitter=p_color_jitter,
+                              p_gray_scale=p_gray_scale, dtype=dtype)
     mel = log_mel_spectrogram(batch["audio"], mel_cfg)       # (B, S, 128, T)
     aud = jnp.swapaxes(mel, -1, -2).astype(dtype)            # (B, S, T, 128)
     return vis, aud
@@ -94,7 +97,10 @@ class SyncTrainer:
             input_size=int(data.get("input_size", 224)),
             segment_size_vframes=int(data.get("segment_size_vframes", 16)),
             audio_jitter_sec=float(data.get("audio_jitter_sec", 0.05)),
+            sometimes_upscale_p=float(data.get("sometimes_upscale_p") or 0.0),
             p_horizontal_flip=float(data.get("p_horizontal_flip", 0.5)),
+            p_color_jitter=float(data.get("p_color_jitter", 0.0)),
+            p_gray_scale=float(data.get("p_gray_scale", 0.0)),
             for_syncability=syncability,
             offset_type=data.get("offset_type", "grid"),
         )
@@ -157,11 +163,16 @@ class SyncTrainer:
         dtype = self.compute_dtype
         target_key = self.target_key
 
+        p_cj = self.pipe_cfg.p_color_jitter
+        p_gs = self.pipe_cfg.p_gray_scale
+
         def train_step(state, raw_batch, rng):
             rng = jax.random.fold_in(rng, state.step)
             prep_rng, model_rng = jax.random.split(rng)
             vis, aud = _device_preprocess(raw_batch, train=True, rng=prep_rng,
-                                          mel_cfg=mel_cfg, p_flip=p_flip, dtype=dtype)
+                                          mel_cfg=mel_cfg, p_flip=p_flip,
+                                          p_color_jitter=p_cj, p_gray_scale=p_gs,
+                                          dtype=dtype)
 
             def loss_fn(trainable):
                 params = {**state.frozen, **trainable}

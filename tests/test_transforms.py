@@ -138,3 +138,28 @@ def test_prepare_item_syncability(rng):
     out = prepare_item(video, audio, cfg, np.random.default_rng(3), split="train")
     assert out["video"].shape == (13, 16, 224, 224, 3)
     assert "sync_target" in out
+
+
+def test_bilinear_resize_u8(rng):
+    from synchformer_tpu.data.transforms import bilinear_resize_u8
+
+    frames = rng.integers(0, 255, (3, 16, 16, 3), dtype=np.uint8)
+    out = bilinear_resize_u8(frames, (32, 32))
+    assert out.shape == (3, 32, 32, 3) and out.dtype == np.uint8
+    # constant image stays constant under resize
+    const = np.full((2, 8, 8, 3), 77, dtype=np.uint8)
+    np.testing.assert_array_equal(bilinear_resize_u8(const, (24, 24)), 77)
+
+
+def test_prepare_item_sometimes_upscale(rng):
+    """With sometimes_upscale_p=1 the crop is taken at smaller_input_size and
+    upscaled back (RGBSpatialCropSometimesUpscale, ref: transforms.py:110-137)."""
+    video = rng.integers(0, 255, (250, 256, 256, 3), dtype=np.uint8)
+    audio = rng.standard_normal(160_000).astype(np.float32)
+    cfg = SyncPipelineConfig(sometimes_upscale_p=1.0, smaller_input_size=192)
+    out = prepare_item(video, audio, cfg, np.random.default_rng(0), split="train")
+    assert out["video"].shape == (14, 16, 224, 224, 3)  # fixed output shape
+    # the upscaled frames are smoother than a direct crop: interpolation
+    # introduces non-source values; just assert dtype/shape + determinism here
+    out2 = prepare_item(video, audio, cfg, np.random.default_rng(0), split="train")
+    np.testing.assert_array_equal(out["video"], out2["video"])
