@@ -7,3 +7,7 @@ from synchformer_tpu.models.sync_model import (  # noqa: F401
     Synchformer,
 )
 from synchformer_tpu.models.avclip import AVCLIP  # noqa: F401
+from synchformer_tpu.models.moco_clip import MultilevelMoCoCLIP  # noqa: F401
+from synchformer_tpu.models.sparsesync import SparseSyncTransformer  # noqa: F401
+from synchformer_tpu.models.s3d import S3DVisualFeatures  # noqa: F401
+from synchformer_tpu.models.resnet_audio import ResNet18AudioFeatures  # noqa: F401

@@ -150,11 +150,40 @@ class SyncTrainer:
                 jax.random.PRNGKey(self.seed),
                 jnp.zeros(vis.shape, jnp.float32),
                 jnp.zeros(aud.shape, jnp.float32))["params"]
+            params = self._maybe_init_towers_from_ckpts(params)
         else:
             params = pretrained_params
         shardings = param_shardings(params, self.mesh)
         params = jax.tree.map(jax.device_put, params, shardings)
         return SyncTrainState.create(params, self.tx, SYNC_TRAINABLE_KEYS)
+
+    def _maybe_init_towers_from_ckpts(self, params):
+        """Initialize the frozen towers from Stage-I checkpoints named in
+        cfg.model.params.{a,v}feat_extractor.params.ckpt_path — the
+        cross-stage surgery the reference performs inside the extractor
+        constructors (ref: ast.py:113-132, motionformer.py:156-173)."""
+        import os
+
+        from synchformer_tpu.utils.checkpoint import (
+            extract_tower_from_avclip,
+            load_torch_checkpoint,
+        )
+
+        model_params = self.cfg.get("model", {}).get("params", {})
+        for key, tower in (("afeat_extractor", "audio"),
+                           ("vfeat_extractor", "visual")):
+            ckpt_path = model_params.get(key, {}).get("params", {}).get("ckpt_path")
+            if ckpt_path and str(ckpt_path).endswith(".pt") and os.path.exists(ckpt_path):
+                converted = extract_tower_from_avclip(
+                    load_torch_checkpoint(ckpt_path), tower)
+                enc_key = "a_encoder" if tower == "audio" else "v_encoder"
+                # keep randomly-initialized leaves for params absent from the
+                # Stage-I ckpt (e.g. temp_attn_agg; ref load is non-strict)
+                merged = dict(params[enc_key])
+                merged.update(converted)
+                params = {**params, enc_key: merged}
+                logging.info(f"initialized {enc_key} from Stage-I ckpt {ckpt_path}")
+        return params
 
     def _compile_steps(self):
         model = self.model
