@@ -143,13 +143,23 @@ def convert_cls_pool_layer(sd, p, has_pos_emb: bool = False) -> Dict:
 # towers
 # ---------------------------------------------------------------------------
 
-def convert_motionformer(sd: Mapping, prefix: str = "", depth: int = 12) -> Dict:
+def _infer_depth(sd: Mapping, pattern: str) -> int:
+    depth = 0
+    while f"{pattern.format(depth)}" in sd:
+        depth += 1
+    return depth
+
+
+def convert_motionformer(sd: Mapping, prefix: str = "",
+                         depth: Optional[int] = None) -> Dict:
     """Motionformer tower state dict -> MotionFormerEncoder params.
 
     Handles both raw .pyth layouts (model_state) and Stage-ckpt subtrees
     (vfeat_extractor. / v_encoder. prefixes are stripped by the caller).
     """
     p = prefix
+    if depth is None:
+        depth = _infer_depth(sd, p + "blocks.{}.norm1.weight")
     out: Dict[str, Any] = {
         "cls_token": _np(sd[f"{p}cls_token"]),
         "pos_embed": _np(sd[f"{p}pos_embed"]),
@@ -183,12 +193,14 @@ def convert_motionformer(sd: Mapping, prefix: str = "", depth: int = 12) -> Dict
     return out
 
 
-def convert_ast(sd: Mapping, prefix: str = "", depth: int = 12,
+def convert_ast(sd: Mapping, prefix: str = "", depth: Optional[int] = None,
                 max_patches: Optional[int] = 74) -> Dict:
     """AST tower state dict -> ASTEncoder params. Trims the positional
     embedding to the first `max_patches` positions like the reference
     (ref: audio/ast.py:240-245: pos[:, :f*t+2])."""
     p = prefix
+    if depth is None:
+        depth = _infer_depth(sd, p + "ast.encoder.layer.{}.layernorm_before.weight")
     pos = _np(sd[f"{p}ast.embeddings.position_embeddings"])
     if max_patches is not None and pos.shape[1] > max_patches:
         logging.info(f"trimming AST pos emb {pos.shape[1]} -> {max_patches}")
@@ -262,7 +274,8 @@ def _strip_prefixes(sd: Mapping, prefixes) -> Dict[str, Any]:
 
 
 def convert_sync_checkpoint(ckpt: Mapping, target_seq_len: Optional[int] = None,
-                            n_layer: int = 3, tower_depth: int = 12) -> Dict:
+                            n_layer: Optional[int] = None,
+                            tower_depth: Optional[int] = None) -> Dict:
     """Stage II/III checkpoint ({'model': sd, ...} or a bare sd) ->
     Synchformer params tree."""
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, Mapping) else ckpt
@@ -274,7 +287,10 @@ def convert_sync_checkpoint(ckpt: Mapping, target_seq_len: Optional[int] = None,
         "v_proj": {"linear": _linear(sd, "vproj")},
         "a_proj": {"linear": _linear(sd, "aproj")},
         "sync_transformer": convert_global_transformer(
-            sd, "transformer.", n_layer=n_layer, target_seq_len=target_seq_len),
+            sd, "transformer.",
+            n_layer=n_layer if n_layer is not None else _infer_depth(
+                sd, "transformer.blocks.{}.ln1.weight"),
+            target_seq_len=target_seq_len),
     }
     return params
 
