@@ -75,11 +75,14 @@ def _time_block(q, k, v, o_ref, col0: int, f: int, n: int, segs: int):
 
     def step(carry, qp, k_j, v_j):
         m, denom, acc = carry
-        logit = jnp.sum((qp * k_j).astype(jnp.float32), axis=-1, keepdims=True)
+        # bf16 products, f32 accumulation in the reduce itself (no f32 copy
+        # of the (segs, n, dh) product tile)
+        logit = jnp.sum(qp * k_j, axis=-1, keepdims=True, dtype=jnp.float32)
         m_new = jnp.maximum(m, logit)
         corr = jnp.exp(m - m_new)
         p = jnp.exp(logit - m_new)
-        return m_new, denom * corr + p, acc * corr + p * v_j.astype(jnp.float32)
+        contrib = (p.astype(v_j.dtype) * v_j).astype(jnp.float32)
+        return m_new, denom * corr + p, acc * corr + contrib
 
     for cq in range(f):  # query frame
         row0 = 1 + cq * n
