@@ -454,3 +454,60 @@ def prepare_item(video: np.ndarray, audio: np.ndarray, cfg: SyncPipelineConfig,
     if crop.oos_target is not None:
         out["oos_target"] = np.int32(crop.oos_target)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ingest-path transforms for non-canonical media
+# (ref: transforms.py:892-966 — ResampleAudio/ResampleRGB/ResizeAndLetterboxPad)
+# ---------------------------------------------------------------------------
+
+def resample_rgb_by_index(video: np.ndarray, orig_fps: float, new_fps: float) -> np.ndarray:
+    """Frame-index resampling (nearest frame on the new grid,
+    ref: transforms.py:906-922)."""
+    if orig_fps == new_fps:
+        return video
+    duration_sec = video.shape[0] / orig_fps
+    indices = np.arange(0, orig_fps * duration_sec - 1e-9,
+                        orig_fps / new_fps).astype(np.int64)
+    return video[indices]
+
+
+def resize_and_letterbox_pad(video: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Aspect-preserving resize + zero letterbox padding
+    (ref: transforms.py:924-952). video: (T, H, W, C) uint8."""
+    t, h, w, c = video.shape
+    target_ar = new_w / new_h
+    current_ar = w / h
+    if current_ar > target_ar:
+        scaled_h = round(new_w / current_ar)
+        resized = bilinear_resize_u8(video, (scaled_h, new_w))
+        top = (new_h - scaled_h) // 2
+        out = np.zeros((t, new_h, new_w, c), dtype=np.uint8)
+        out[:, top:top + scaled_h] = resized
+    elif current_ar < target_ar:
+        scaled_w = round(new_h * current_ar)
+        resized = bilinear_resize_u8(video, (new_h, scaled_w))
+        left = (new_w - scaled_w) // 2
+        out = np.zeros((t, new_h, new_w, c), dtype=np.uint8)
+        out[:, :, left:left + scaled_w] = resized
+    else:
+        out = bilinear_resize_u8(video, (new_h, new_w))
+    return out
+
+
+def ingest_noncanonical(video: np.ndarray, audio: np.ndarray, v_fps: float,
+                        a_rate: float, *, target_vfps: float = 25.0,
+                        target_afps: int = 16_000, new_h: int = 256,
+                        new_w: int = 256):
+    """ResampleResizeLetterboxPad equivalent (ref: transforms.py:955-966):
+    bring arbitrary media to the canonical 25 fps / 16 kHz / letterboxed
+    resolution. Audio resampling runs on device via ops/dsp.resample."""
+    video = resample_rgb_by_index(video, v_fps, target_vfps)
+    video = resize_and_letterbox_pad(video, new_h, new_w)
+    if a_rate != target_afps:
+        import jax.numpy as jnp
+
+        from synchformer_tpu.ops.dsp import resample
+
+        audio = np.asarray(resample(jnp.asarray(audio), int(a_rate), target_afps))
+    return video, audio

@@ -138,11 +138,14 @@ class AVCLIPTrainer:
             # volume/noise/lowpass — see ops/dsp.py for the sox equivalences)
             from synchformer_tpu.ops import dsp
 
-            k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, 7), 3)
-            pcm = dsp.random_volume(pcm, k1, p_aug, gain=2.0)
-            pcm = dsp.random_lowpass(pcm, k2, p_aug, self.pipe_cfg.afps,
+            k1, k2, k3, k4, k5 = jax.random.split(jax.random.fold_in(rng, 7), 5)
+            pcm = dsp.random_reverb(pcm, k1, p_aug, int(self.pipe_cfg.afps))
+            pcm = dsp.random_volume(pcm, k2, p_aug, gain=2.0)
+            pcm = dsp.random_pitch_shift(pcm, k3, p_aug, int(self.pipe_cfg.afps),
+                                         shift=1000.0)
+            pcm = dsp.random_lowpass(pcm, k4, p_aug, self.pipe_cfg.afps,
                                      cutoff_freq=100.0)
-            pcm = dsp.random_gauss_noise(pcm, k3, p_aug, amplitude=0.01)
+            pcm = dsp.random_gauss_noise(pcm, k5, p_aug, amplitude=0.01)
         mel = log_mel_spectrogram(pcm, self.mel_cfg)
         aud = jnp.swapaxes(mel, -1, -2).astype(self.compute_dtype)
         return vis, aud

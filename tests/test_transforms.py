@@ -163,3 +163,27 @@ def test_prepare_item_sometimes_upscale(rng):
     # introduces non-source values; just assert dtype/shape + determinism here
     out2 = prepare_item(video, audio, cfg, np.random.default_rng(0), split="train")
     np.testing.assert_array_equal(out["video"], out2["video"])
+
+
+def test_resample_rgb_by_index():
+    from synchformer_tpu.data.transforms import resample_rgb_by_index
+
+    video = np.arange(30, dtype=np.uint8)[:, None, None, None] * np.ones(
+        (1, 4, 4, 3), dtype=np.uint8)
+    out = resample_rgb_by_index(video, orig_fps=30, new_fps=25)
+    assert out.shape[0] == 25
+    assert out[0, 0, 0, 0] == 0 and out[-1, 0, 0, 0] >= 27
+
+
+def test_resize_and_letterbox_pad(rng):
+    from synchformer_tpu.data.transforms import resize_and_letterbox_pad
+
+    wide = rng.integers(1, 255, (2, 90, 160, 3), dtype=np.uint8)
+    out = resize_and_letterbox_pad(wide, 128, 128)
+    assert out.shape == (2, 128, 128, 3)
+    assert (out[:, 0] == 0).all() and (out[:, -1] == 0).all()  # letterbox bars
+    assert out[:, 64].max() > 0
+
+    tall = rng.integers(1, 255, (2, 160, 90, 3), dtype=np.uint8)
+    out2 = resize_and_letterbox_pad(tall, 128, 128)
+    assert (out2[:, :, 0] == 0).all() and (out2[:, :, -1] == 0).all()
