@@ -88,11 +88,18 @@ def main():
     v_fps = meta["video"]["fps"][0]
     a_rate = meta["audio"]["framerate"][0]
     h, w = video.shape[1:3]
-    if (v_fps != 25 or a_rate != 16_000 or min(h, w) != 256) and \
-            "ffmpeg" in available_backends():
-        logging.info("re-encoding to 25 fps / 16 kHz / 256 side")
-        vid_path = reencode_video(vid_path)
-        video, audio, meta = get_video_and_audio(vid_path)
+    if v_fps != 25 or a_rate != 16_000 or min(h, w) != 256:
+        if "ffmpeg" in available_backends():
+            logging.info("re-encoding to 25 fps / 16 kHz / 256 side")
+            vid_path = reencode_video(vid_path)
+            video, audio, meta = get_video_and_audio(vid_path)
+        else:
+            # in-framework fallback: frame-index resample + letterbox +
+            # device sinc resample (ResampleResizeLetterboxPad equivalent)
+            from synchformer_tpu.data.transforms import ingest_noncanonical
+
+            logging.info("no ffmpeg; using in-framework resample/letterbox")
+            video, audio = ingest_noncanonical(video, audio, v_fps, a_rate)
 
     cfg = SyncPipelineConfig()
     item = prepare_item(video, audio, cfg, np.random.default_rng(0), split="test",

@@ -99,7 +99,19 @@ class SyncDataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self.sampler.indices(self._epoch)
-        n_batches = len(indices) // self.batch_size
+        if self.sampler.drop_last:
+            n_batches = len(indices) // self.batch_size
+            indices = indices[: n_batches * self.batch_size]
+            pad_from = len(indices)
+        else:
+            # pad the tail batch by wrapping around so shapes stay static;
+            # the batch carries a `pad_mask` (1 = real item) that eval
+            # aggregation uses to drop the duplicates
+            pad_from = len(indices)
+            n_batches = -(-len(indices) // self.batch_size)
+            short = n_batches * self.batch_size - len(indices)
+            if short:
+                indices = np.concatenate([indices, indices[:short]])
         epoch_seed = (self.seed * 1_000_003 + self._epoch) & 0x7FFFFFFF
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -110,9 +122,11 @@ class SyncDataLoader:
                 for b in range(n_batches):
                     if stop.is_set():
                         return
-                    batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                    lo = b * self.batch_size
+                    batch_idx = indices[lo:lo + self.batch_size]
                     futures = [
-                        pool.submit(self._load_one, int(i), epoch_seed + int(i))
+                        pool.submit(self._load_one, int(i),
+                                    (epoch_seed * 1_000_003 + int(i)) & 0x7FFFFFFF)
                         for i in batch_idx
                     ]
                     try:
@@ -124,6 +138,8 @@ class SyncDataLoader:
                         k: np.stack([it[k] for it in items])
                         for k in items[0]
                     }
+                    batch["pad_mask"] = (np.arange(lo, lo + self.batch_size)
+                                         < pad_from)
                     out_q.put(batch)
             out_q.put(None)
 

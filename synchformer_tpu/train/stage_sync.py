@@ -259,6 +259,7 @@ class SyncTrainer:
             meters = {"loss": Meter(), "accuracy_1": Meter(), "samples_per_sec": Meter()}
             t0 = time.perf_counter()
             for i, batch in enumerate(loader):
+                batch.pop("pad_mask", None)  # train drops the tail instead
                 if i == 0 and epoch == 0:
                     self.dump_input_reconstruction(batch, f"{phase}_e{epoch}")
                 batch_dev = batch_to_device(batch, bs)
@@ -279,12 +280,14 @@ class SyncTrainer:
             self._state = state
             return out
         # valid/test: gather logits + targets, compute full metric suite
+        # (pad_mask drops the wrap-around items of the final batch)
         all_logits, all_targets = [], []
         for batch in loader:
+            mask = batch.pop("pad_mask", np.ones(len(batch["video"]), bool))
             batch_dev = batch_to_device(batch, bs)
             logits = self._eval_step(state.trainable, state.frozen, batch_dev)
-            all_logits.append(np.asarray(logits))
-            all_targets.append(np.asarray(batch[self.target_key]))
+            all_logits.append(np.asarray(logits)[mask])
+            all_targets.append(np.asarray(batch[self.target_key])[mask])
         gathered = gather_dict({"logits": np.concatenate(all_logits),
                                 "targets": np.concatenate(all_targets)})
         metrics = calc_cls_metrics(gathered["targets"], gathered["logits"],
@@ -346,6 +349,7 @@ class SyncTrainer:
                                     decode_backend=decode_backend),
             "valid": SyncDataLoader(valid_ds, self.pipe_cfg, self.batch_size,
                                     num_workers, self.seed, shuffle=False,
+                                    drop_last=False,
                                     process_index=jax.process_index(),
                                     process_count=jax.process_count(),
                                     decode_backend=decode_backend),
@@ -387,7 +391,8 @@ class SyncTrainer:
         if test_ds is not None:
             test_loader = SyncDataLoader(
                 test_ds, self.pipe_cfg, self.batch_size, num_workers, self.seed,
-                shuffle=False, process_index=jax.process_index(),
+                shuffle=False, drop_last=False,
+                process_index=jax.process_index(),
                 process_count=jax.process_count(), decode_backend=decode_backend)
             # iter_times: repeated passes over small eval sets
             # (ref: train_sync.py:291-395)
@@ -396,11 +401,13 @@ class SyncTrainer:
             for it in range(iter_times):
                 test_loader.set_epoch(it)
                 for batch in test_loader:
+                    mask = batch.pop("pad_mask",
+                                     np.ones(len(batch["video"]), bool))
                     logits = self._eval_step(self._state.trainable,
                                              self._state.frozen,
                                              batch_to_device(batch, bs))
-                    accum_logits.append(np.asarray(logits))
-                    accum_targets.append(np.asarray(batch[self.target_key]))
+                    accum_logits.append(np.asarray(logits)[mask])
+                    accum_targets.append(np.asarray(batch[self.target_key])[mask])
             gathered = gather_dict({"logits": np.concatenate(accum_logits),
                                     "targets": np.concatenate(accum_targets)})
             test_metrics = calc_cls_metrics(
