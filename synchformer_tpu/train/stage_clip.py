@@ -221,8 +221,10 @@ class AVCLIPTrainer:
         if self.cfg.get("training", {}).get("resume") == "latest" \
                 and self.ckpt.latest_step() is not None:
             payload = self.ckpt.restore(template={"trainable": state.trainable,
+                                                  "opt_state": state.opt_state,
                                                   "epoch": 0})
-            state = state.replace(trainable=payload["trainable"])
+            state = state.replace(trainable=payload["trainable"],
+                                  opt_state=payload["opt_state"])
             start_epoch = int(payload["epoch"]) + 1
             logging.info(f"Stage-I resumed from epoch {start_epoch - 1}")
         self._compile_steps()
@@ -258,6 +260,7 @@ class AVCLIPTrainer:
             if stopper.update(metrics_global["precision"]):
                 self.ckpt.save(epoch, {
                     "trainable": jax.tree.map(np.asarray, state.trainable),
+                    "opt_state": jax.tree.map(np.asarray, state.opt_state),
                     "epoch": epoch},
                     metrics={"best_metric": float(metrics_global["precision"])})
             results = {"precision": metrics_global["precision"],

@@ -307,11 +307,14 @@ class SyncTrainer:
         ckpt_path = training.get("ckpt_path")
         if training.get("resume") and self.ckpt.latest_step() is not None:
             payload = self.ckpt.restore(template={
-                "trainable": state.trainable, "step": 0, "epoch": 0})
+                "trainable": state.trainable, "opt_state": state.opt_state,
+                "step": 0, "epoch": 0})
             state = state.replace(trainable=payload["trainable"],
+                                  opt_state=payload["opt_state"],
                                   step=jnp.asarray(payload["step"], jnp.int32))
             start_epoch = int(payload["epoch"]) + 1
-            logging.info(f"resumed from epoch {start_epoch - 1}")
+            logging.info(f"resumed from epoch {start_epoch - 1} "
+                         "(params + optimizer state)")
         elif training.get("finetune") and ckpt_path:
             from synchformer_tpu.utils.checkpoint import (
                 convert_sync_checkpoint,
@@ -378,8 +381,11 @@ class SyncTrainer:
             monitored = valid_metrics[self.metric_name]
             if stopper.update(monitored):
                 best_metrics = dict(valid_metrics)
+                # full payload for exact resume: params + optimizer state +
+                # counters (ref ckpt dict: utils/logger.py:139-160)
                 self.ckpt.save(epoch, {
                     "trainable": jax.tree.map(np.asarray, self._state.trainable),
+                    "opt_state": jax.tree.map(np.asarray, self._state.opt_state),
                     "step": int(self._state.step), "epoch": epoch,
                 }, metrics={"best_metric": float(monitored)})
             if stopper.triggered:
