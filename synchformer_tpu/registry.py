@@ -29,10 +29,22 @@ def register(*names: str) -> Callable:
     return deco
 
 
+def _populate_default_registry():
+    """Import the modules that register reference target aliases (lazy so that
+    `import synchformer_tpu` stays light)."""
+    import synchformer_tpu.data.datasets  # noqa: F401
+    import synchformer_tpu.models  # noqa: F401
+
+
 def get_registered(target: str) -> Any:
     """Resolve a target name: registry first, then dotted import path."""
     if target in _REGISTRY:
         return _REGISTRY[target]
+    if target.startswith(("model.", "dataset.", "torch.nn.")):
+        # reference-config target names resolve through the alias registry
+        _populate_default_registry()
+        if target in _REGISTRY:
+            return _REGISTRY[target]
     if "." in target:
         module_name, attr = target.rsplit(".", 1)
         try:
