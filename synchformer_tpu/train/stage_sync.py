@@ -258,11 +258,22 @@ class SyncTrainer:
         if phase == "train":
             meters = {"loss": Meter(), "accuracy_1": Meter(), "samples_per_sec": Meter()}
             t0 = time.perf_counter()
-            for i, batch in enumerate(loader):
-                batch.pop("pad_mask", None)  # train drops the tail instead
-                if i == 0 and epoch == 0:
-                    self.dump_input_reconstruction(batch, f"{phase}_e{epoch}")
-                batch_dev = batch_to_device(batch, bs)
+
+            def staged():
+                # dispatch H2D for batch n+1 while step n runs on device
+                pending = None
+                for i, batch in enumerate(loader):
+                    batch.pop("pad_mask", None)  # train drops the tail instead
+                    if i == 0 and epoch == 0:
+                        self.dump_input_reconstruction(batch, f"{phase}_e{epoch}")
+                    nxt = batch_to_device(batch, bs)  # async dispatch
+                    if pending is not None:
+                        yield pending
+                    pending = (i, batch, nxt)
+                if pending is not None:
+                    yield pending
+
+            for i, batch, batch_dev in staged():
                 state, metrics = self._train_step(state, batch_dev, rng)
                 loss = float(metrics["loss"])
                 if not bool(metrics["loss_finite"]):
@@ -367,6 +378,17 @@ class SyncTrainer:
         stopper = EarlyStopper(self.patience, to_max=True)
         best_metrics: Dict[str, float] = {}
         epochs = max_epochs if max_epochs is not None else self.num_epochs
+        if self.run_test_only:
+            # evaluation-only mode (ref: cfg.training.run_test_only): restore
+            # the best checkpoint if one exists and skip straight to test
+            epochs = 0
+            best = self.ckpt.best_step()
+            if best is not None:
+                payload = self.ckpt.restore(best, template={
+                    "trainable": self._state.trainable,
+                    "opt_state": self._state.opt_state, "step": 0, "epoch": 0})
+                self._state = self._state.replace(trainable=payload["trainable"])
+                logging.info(f"run_test_only: restored best ckpt (epoch {best})")
         for epoch in range(start_epoch, epochs):
             with self._maybe_profile(epoch):
                 train_metrics = self.run_phase(self._state, loaders["train"], epoch,
