@@ -456,5 +456,9 @@ def train(cfg: Dict[str, Any], **fit_kwargs):
     for split in ("train", "valid", "test"):
         datasets[split] = instantiate_from_config(
             ds_cfg, split=split, vids_dir=data_cfg.get("vids_path"))
+    fit_kwargs.setdefault("iter_times",
+                          int(cfg.get("training", {}).get("iter_times", 1)))
+    fit_kwargs.setdefault("num_workers",
+                          int(cfg.get("training", {}).get("num_workers", 6)))
     return trainer.fit(datasets["train"], datasets["valid"], datasets["test"],
                        **fit_kwargs)
