@@ -27,6 +27,38 @@ def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+class LNParams(nn.Module):
+    """LayerNorm parameters WITHOUT the computation — produces the exact
+    param tree of nn.LayerNorm ({scale, bias}) so the converter/checkpoints
+    are unaffected, while letting the caller feed the raw values into a fused
+    pallas kernel (or apply the normalization manually)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class DenseParams(nn.Module):
+    """Dense parameters without the matmul (same tree/init as nn.Dense:
+    lecun_normal kernel, zeros bias) — for fused-kernel callers."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.features_in, self.features_out))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features_out,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 def attention_bias_from_keep_mask(keep: Optional[jnp.ndarray], dtype) -> Optional[jnp.ndarray]:
     """keep: (..., N) bool/int, 1 = attend-to. Returns (..., 1, 1, N) additive bias."""
     if keep is None:

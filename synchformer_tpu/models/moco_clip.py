@@ -144,7 +144,10 @@ def moco_contrastive_loss(vfeat, afeat, vfeat_all, afeat_all, scale,
     sim_a2v = (afeat @ vfeat_all).astype(jnp.float32) / scale
     n, m = sim_v2a.shape
     eye = jnp.eye(n, m, dtype=jnp.float32)
-    if alpha > 0.0:
+    # alpha may be a TRACED scalar (the trainer ramps it over epoch 0,
+    # ref: training/train.py:115), so branch statically on whether momentum
+    # feats were supplied; the formula reduces to one-hot at alpha == 0
+    if vfeat_m is not None and afeat_m is not None:
         sim_v2a_m = jax.lax.stop_gradient(
             (vfeat_m @ afeat_all).astype(jnp.float32) / scale)
         sim_a2v_m = jax.lax.stop_gradient(

@@ -36,8 +36,30 @@ from synchformer_tpu.models.aggregators import (
     SpatialAggregator,
     TemporalAggregator,
 )
-from synchformer_tpu.models.layers import DropPath, Mlp, exact_gelu
+from synchformer_tpu.models.layers import (
+    DenseParams,
+    DropPath,
+    LNParams,
+    exact_gelu,
+)
+from synchformer_tpu.ops.pallas.fused_block import dense, layer_norm
 from synchformer_tpu.registry import register
+
+_WARNED_PALLAS_MASK_FALLBACK = False
+
+
+class MlpParams(nn.Module):
+    """fc1/fc2 parameters with the exact tree of the Mlp module (for feeding
+    the fused LN+MLP pallas kernel or the manual fallback)."""
+
+    features: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = DenseParams(self.features, self.hidden, name="fc1")()
+        k2, b2 = DenseParams(self.hidden, self.features, name="fc2")()
+        return k1, b1, k2, b2
 
 trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
@@ -66,31 +88,64 @@ class DividedAttention(nn.Module):
     proj_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"  # 'xla' (reference path, differentiable) | 'pallas'
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, num_frames: int, mode: str, keep_mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, ln=None):
+        """ln: optional (scale, bias) of the block's pre-attention LayerNorm.
+        When given, x is the RAW block input and the normalization happens
+        here — fused into the pallas megakernel on the pallas path, manual
+        (identical numerics to nn.LayerNorm) otherwise."""
         b, seq, d = x.shape
         h = self.num_heads
         dh = d // h
         f = num_frames
         n = (seq - 1) // f
         assert 1 + f * n == seq, (seq, f)
+        qkv_kernel, qkv_bias = DenseParams(d, 3 * d, name="qkv")()
+
+        if self.attn_impl == "pallas" and keep_mask is not None:
+            # the pallas kernels do not support keep-masks; warn once and fall
+            # through to the XLA path (~2x slower) instead of silently
+            # degrading with no trace
+            global _WARNED_PALLAS_MASK_FALLBACK
+            if not _WARNED_PALLAS_MASK_FALLBACK:
+                import logging
+
+                logging.warning(
+                    "attn_impl='pallas' with a keep_mask: falling back to the "
+                    "XLA divided-attention path (pallas kernels are "
+                    "unmasked-only). This warning is shown once.")
+                _WARNED_PALLAS_MASK_FALLBACK = True
 
         if self.attn_impl == "pallas" and keep_mask is None:
-            # custom-vjp wrapper: fused pallas forward AND backward kernels
             from synchformer_tpu.ops.pallas.divided_attention_bwd import (
                 divided_attention,
             )
+            from synchformer_tpu.ops.pallas.fused_block import (
+                fused_divided_attention,
+            )
 
-            qkv_flat = nn.Dense(3 * d, use_bias=True, dtype=self.dtype,
-                                name="qkv")(x)
-            out = divided_attention(qkv_flat, h, f, mode)
+            if ln is not None:
+                # LN + QKV matmul + attention in ONE kernel: x is read from
+                # HBM once; ln/qkv never round-trip (custom VJP falls back to
+                # the composed reference for gradients)
+                out = fused_divided_attention(
+                    x, ln[0], ln[1],
+                    qkv_kernel.astype(self.dtype), qkv_bias.astype(self.dtype),
+                    h, f, mode, self.ln_eps)
+            else:
+                qkv_flat = dense(x, qkv_kernel, qkv_bias, self.dtype)
+                # custom-vjp wrapper: fused pallas forward AND backward kernels
+                out = divided_attention(qkv_flat, h, f, mode)
             out = out.reshape(b, seq, d)
             out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_dropout)(out, deterministic=deterministic)
 
-        qkv = nn.Dense(3 * d, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        if ln is not None:
+            x = layer_norm(x, ln[0], ln[1], self.ln_eps, self.dtype)
+        qkv = dense(x, qkv_kernel, qkv_bias, self.dtype)
         qkv = qkv.reshape(b, seq, 3, h, dh)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (b, seq, h, dh)
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))  # (b, h, seq, dh)
@@ -162,27 +217,44 @@ class DividedSpaceTimeBlock(nn.Module):
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
         d = x.shape[-1]
+        # LN params are declared here (same tree as nn.LayerNorm) and handed
+        # to the attention, which fuses the normalization into its kernel on
+        # the pallas path
+        ln3 = LNParams(d, name="norm3")()
         t_out = DividedAttention(
             num_heads=self.num_heads, proj_dropout=self.dropout, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="timeattn",
-        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm3")(x),
-          num_frames=self.num_frames, mode="time", keep_mask=keep_mask,
-          deterministic=deterministic)
+            attn_impl=self.attn_impl, ln_eps=self.ln_eps, name="timeattn",
+        )(x, num_frames=self.num_frames, mode="time", keep_mask=keep_mask,
+          deterministic=deterministic, ln=ln3)
         x = x + t_out  # reference adds the time output without drop-path
 
+        ln1 = LNParams(d, name="norm1")()
         s_out = DividedAttention(
             num_heads=self.num_heads, proj_dropout=self.dropout, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn",
-        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x),
-          num_frames=self.num_frames, mode="space", keep_mask=keep_mask,
-          deterministic=deterministic)
+            attn_impl=self.attn_impl, ln_eps=self.ln_eps, name="attn",
+        )(x, num_frames=self.num_frames, mode="space", keep_mask=keep_mask,
+          deterministic=deterministic, ln=ln1)
         x = x + DropPath(self.drop_path, name="drop_path_s")(s_out, deterministic)
 
-        m_out = Mlp(hidden_dim=int(d * self.mlp_ratio), dropout=self.dropout,
-                    dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x),
-            deterministic=deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path_m")(m_out, deterministic)
+        # MLP: LN -> fc1 -> exact GELU -> fc2 (-> dropout/drop-path) with the
+        # residual. One pallas kernel when the stochastic pieces are inactive.
+        ln2_scale, ln2_bias = LNParams(d, name="norm2")()
+        k1, b1, k2, b2 = MlpParams(d, int(d * self.mlp_ratio), name="mlp")()
+        stochastic = not deterministic and (self.dropout > 0.0 or self.drop_path > 0.0)
+        if self.attn_impl == "pallas" and not stochastic:
+            from synchformer_tpu.ops.pallas.fused_block import fused_mlp_residual
+
+            x = fused_mlp_residual(x, ln2_scale, ln2_bias,
+                                   k1.astype(self.dtype), b1.astype(self.dtype),
+                                   k2.astype(self.dtype), b2.astype(self.dtype),
+                                   self.ln_eps)
+        else:
+            h = dense(layer_norm(x, ln2_scale, ln2_bias, self.ln_eps, self.dtype),
+                      k1, b1, self.dtype)
+            h = nn.Dropout(self.dropout)(exact_gelu(h), deterministic=deterministic)
+            m_out = nn.Dropout(self.dropout)(dense(h, k2, b2, self.dtype),
+                                             deterministic=deterministic)
+            x = x + DropPath(self.drop_path, name="drop_path_m")(m_out, deterministic)
         return x
 
 

@@ -67,36 +67,41 @@ def _space_segment(q, k, v, o_ref, s: int, col0: int, f: int, n: int):
 
 
 def _time_block(q, k, v, o_ref, col0: int, f: int, n: int, segs: int):
-    """SEGS segments of one head: CLS rows + streaming per-position attention
-    across frames on (SEGS, n, dh) tiles."""
+    """SEGS segments of one head: CLS rows + TWO-PASS per-position attention
+    across frames on (SEGS, n, dh) tiles.
+
+    All f+1 candidate logits are (segs, n, 1) and fit VMEM trivially, so the
+    softmax needs no online (flash-style) running corrections: pass 1
+    computes every logit, pass 2 does one max/exp/denominator and a single
+    weighted accumulation of the values. Dropping the per-key-frame
+    ``acc * corr`` rescans of the (segs, n, dh) accumulator removes ~45% of
+    the VPU work vs the round-1 streaming formulation."""
     dh = q.shape[-1]
     for s in range(segs):
         _cls_row(q[s], k[s], v[s], o_ref, s, col0)
 
-    def step(carry, qp, k_j, v_j):
-        m, denom, acc = carry
-        # bf16 products, f32 accumulation in the reduce itself (no f32 copy
-        # of the (segs, n, dh) product tile)
-        logit = jnp.sum(qp * k_j, axis=-1, keepdims=True, dtype=jnp.float32)
-        m_new = jnp.maximum(m, logit)
-        corr = jnp.exp(m - m_new)
-        p = jnp.exp(logit - m_new)
-        contrib = (p.astype(v_j.dtype) * v_j).astype(jnp.float32)
-        return m_new, denom * corr + p, acc * corr + contrib
-
+    k0 = jnp.broadcast_to(k[:, 0:1], (segs, n, dh))
+    v0 = jnp.broadcast_to(v[:, 0:1], (segs, n, dh))
     for cq in range(f):  # query frame
         row0 = 1 + cq * n
         qp = q[:, row0:row0 + n]  # (segs, n, dh)
-        carry = (jnp.full((segs, n, 1), -jnp.inf, dtype=jnp.float32),
-                 jnp.zeros((segs, n, 1), dtype=jnp.float32),
-                 jnp.zeros((segs, n, dh), dtype=jnp.float32))
-        carry = step(carry, qp,
-                     jnp.broadcast_to(k[:, 0:1], (segs, n, dh)),
-                     jnp.broadcast_to(v[:, 0:1], (segs, n, dh)))
-        for j in range(f):  # key frame
-            carry = step(carry, qp, k[:, 1 + j * n:1 + (j + 1) * n],
-                         v[:, 1 + j * n:1 + (j + 1) * n])
-        m, denom, acc = carry
+        # pass 1: all f+1 logits (bf16 products, f32 reduce)
+        logits = [jnp.sum(qp * k0, axis=-1, keepdims=True, dtype=jnp.float32)]
+        for j in range(f):
+            logits.append(jnp.sum(qp * k[:, 1 + j * n:1 + (j + 1) * n],
+                                  axis=-1, keepdims=True, dtype=jnp.float32))
+        m = logits[0]
+        for l in logits[1:]:
+            m = jnp.maximum(m, l)
+        # pass 2: single softmax + one weighted value accumulation
+        exps = [jnp.exp(l - m) for l in logits]
+        denom = exps[0]
+        for e in exps[1:]:
+            denom = denom + e
+        acc = (exps[0].astype(v.dtype) * v0).astype(jnp.float32)
+        for j in range(f):
+            contrib = exps[j + 1].astype(v.dtype) * v[:, 1 + j * n:1 + (j + 1) * n]
+            acc = acc + contrib.astype(jnp.float32)
         o_ref[:, row0:row0 + n, col0:col0 + dh] = (acc / denom).astype(o_ref.dtype)
 
 

@@ -33,6 +33,7 @@ from synchformer_tpu.parallel.mesh import batch_sharding, make_mesh, param_shard
 from synchformer_tpu.registry import instantiate_from_config
 from synchformer_tpu.train.metrics import gather_dict
 from synchformer_tpu.train.state import SyncTrainState, make_lr_schedule, make_optimizer
+from synchformer_tpu.train.step import make_avclip_eval_step, make_avclip_train_step
 from synchformer_tpu.utils.checkpoint import CheckpointManager
 from synchformer_tpu.utils.logger import EarlyStopper, ExperimentLogger, Meter
 
@@ -78,6 +79,10 @@ class AVCLIPTrainer:
             f"batch_size {self.batch_size} must divide over data-parallel size {n_data}"
 
         n_segments = int(data.get("n_segments_train", data.get("n_segments", 14)))
+        # model dispatch: AVCLIP (InfoNCE, default) or MultilevelMoCoCLIP
+        # (momentum encoders + queues, ref: open_clip/model.py:585-871) —
+        # both selectable via cfg.model.target like the reference
+        self.is_moco = "MoCoCLIP" in str(cfg.get("model", {}).get("target", ""))
         if "model" in cfg and "target" in cfg.get("model", {}):
             self.model = instantiate_from_config(cfg["model"])
         else:
@@ -85,6 +90,8 @@ class AVCLIPTrainer:
                 n_segments_train=n_segments, dtype=compute_dtype,
                 gather_for_loss=bool(cfg.get("model", {}).get("params", {})
                                      .get("gather_for_loss", False)))
+        self.alpha = float(training.get("alpha", 0.0))
+        self._n_segments = n_segments
 
         self.pipe_cfg = SyncPipelineConfig(
             n_segments=n_segments,
@@ -112,7 +119,8 @@ class AVCLIPTrainer:
 
         logdir = cfg.get("logging", {}).get("logdir", "./logs/avclip_models")
         self.logger = ExperimentLogger(
-            logdir, cfg=cfg if isinstance(cfg, dict) else None,
+            logdir, exp_name=cfg.get("logging", {}).get("exp_name"),
+            cfg=cfg if isinstance(cfg, dict) else None,
             is_master=jax.process_index() == 0,
             log_code_state=bool(cfg.get("logging", {}).get("log_code_state", False)))
         self.ckpt = CheckpointManager(str(self.logger.logdir / "ckpts"))
@@ -151,42 +159,60 @@ class AVCLIPTrainer:
         return vis, aud
 
     def _compile_steps(self):
-        model = self.model
+        if self.is_moco:
+            from synchformer_tpu.train.step import (
+                make_moco_eval_step,
+                make_moco_train_step,
+            )
 
-        def train_step(state, raw_batch, rng):
-            rng = jax.random.fold_in(rng, state.step)
-            prep_rng, model_rng = jax.random.split(rng)
-            vis, aud = self._device_prep(raw_batch, train=True, rng=prep_rng)
+            self._train_step = make_moco_train_step(
+                self.model, preprocess=self._device_prep)
+            self._eval_step = make_moco_eval_step(
+                self.model, zero_shot_precision, preprocess=self._device_prep)
+        else:
+            self._train_step = make_avclip_train_step(
+                self.model, preprocess=self._device_prep)
+            self._eval_step = make_avclip_eval_step(
+                self.model, zero_shot_precision, preprocess=self._device_prep)
 
-            def loss_fn(params):
-                out = model.apply({"params": params}, vis, aud,
-                                  deterministic=False,
-                                  rngs={"dropout": model_rng,
-                                        "droppath": jax.random.fold_in(model_rng, 1)})
-                return out["losses"]["segment_contrastive_loss"]
+    def log_similarity_matrices(self, out, state, phase: str, epoch: int):
+        """Write v2a/a2v/v2v/a2a heatmaps from one batch's segment features —
+        the in-train observability the reference logs via eval_one_example
+        (ref: training/train.py:405-467). Observability only: never fatal."""
+        if jax.process_index() != 0:
+            return
+        try:
+            from synchformer_tpu.utils.viz import plot_similarity_matrices
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
-            new_state, _ = state.apply_gradients(grads)
-            clamped = jnp.clip(new_state.trainable["logit_scale"],
-                               model.clamp_scale_min, model.clamp_scale_max)
-            new_state = new_state.replace(
-                trainable={**new_state.trainable, "logit_scale": clamped})
-            return new_state, {"loss": loss, "logit_scale": clamped,
-                               "loss_finite": jnp.isfinite(loss)}
+            d = self.model.n_embd
+            a = np.asarray(out["afeat"]).reshape(-1, d)
+            v = np.asarray(out["vfeat"]).reshape(-1, d)
+            scale_key = ("segment_logit_scale" if self.is_moco else "logit_scale")
+            scale = float(np.clip(np.asarray(state.trainable[scale_key]),
+                                  self.model.clamp_scale_min,
+                                  self.model.clamp_scale_max))
+            sims = {"segment_sim_v2a": v @ a.T / scale,
+                    "segment_sim_a2v": a @ v.T / scale,
+                    "segment_sim_v2v": v @ v.T / scale,
+                    "segment_sim_a2a": a @ a.T / scale}
+            plot_similarity_matrices(
+                sims, str(self.logger.logdir / "sims" / f"{phase}_e{epoch}.png"))
+        except Exception as e:
+            logging.warning(f"similarity-matrix logging failed: {e}")
 
-        def eval_step(params, raw_batch, window: int):
-            vis, aud = self._device_prep(raw_batch, train=False)
-            out = model.apply({"params": params}, vis, aud, deterministic=True)
-            b = raw_batch["video"].shape[0]
-            vfeat = out["rgb_features"][0].reshape(b, -1, model.n_embd)
-            afeat = out["audio_features"][0].reshape(b, -1, model.n_embd)
-            precision = zero_shot_precision(afeat.astype(jnp.float32),
-                                            vfeat.astype(jnp.float32), window)
-            return {"loss": out["losses"]["segment_contrastive_loss"],
-                    "precision": precision}
+    def _init_moco_state(self, params):
+        """EMA copies + feature queues (ref: model.py:610-631): segment queue
+        scaled by max_segments, global queue only with add_global_repr."""
+        from synchformer_tpu.models.moco_clip import init_queues
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._eval_step = jax.jit(eval_step, static_argnums=(2,))
+        max_segments = int(self.model.afeat_extractor.get("params", {})
+                           .get("max_segments", self._n_segments))
+        seg_q = int(self.model.queue_size) * max_segments
+        glob_q = int(self.model.queue_size) if self.model.add_global_repr else None
+        queues = init_queues(jax.random.PRNGKey(self.seed + 1),
+                             self.model.n_embd, seg_q, glob_q)
+        params_m = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+        return {"params_m": params_m, "queues": queues}
 
     # ------------------------------------------------------------------
     def fit(self, train_ds, valid_ds, num_workers: int = 4,
@@ -216,52 +242,95 @@ class AVCLIPTrainer:
         # Stage I trains EVERYTHING: trainable = all params
         state = SyncTrainState.create(params, tx,
                                       trainable_keys=tuple(params.keys()))
+        moco = self._init_moco_state(params) if self.is_moco else None
         # resume-latest discovery (ref: train_clip.py:126-159)
+        stopper = EarlyStopper(self.patience, to_max=True)
         start_epoch = 0
         if self.cfg.get("training", {}).get("resume") == "latest" \
                 and self.ckpt.latest_step() is not None:
-            payload = self.ckpt.restore(template={"trainable": state.trainable,
-                                                  "opt_state": state.opt_state,
-                                                  "epoch": 0})
+            template = {"trainable": state.trainable, "opt_state": state.opt_state,
+                        "epoch": 0, "stopper": stopper.state_dict()}
+            if self.is_moco:
+                template["moco"] = moco
+            payload = self.ckpt.restore_latest(template=template)
             state = state.replace(trainable=payload["trainable"],
                                   opt_state=payload["opt_state"])
+            stopper.load_state_dict(payload["stopper"])
+            if self.is_moco:
+                moco = payload["moco"]
             start_epoch = int(payload["epoch"]) + 1
             logging.info(f"Stage-I resumed from epoch {start_epoch - 1}")
         self._compile_steps()
         rng = jax.device_put(jax.random.PRNGKey(self.seed), replicated(self.mesh))
         bs = batch_sharding(self.mesh)
-        stopper = EarlyStopper(self.patience, to_max=True)
 
         epochs = max_epochs if max_epochs is not None else self.num_epochs
         results = {}
         for epoch in range(start_epoch, epochs):
             loaders["train"].set_epoch(epoch)
+            n_iters = max(len(loaders["train"]), 1)
             loss_m = Meter()
             for i, batch in enumerate(loaders["train"]):
-                state, metrics = self._train_step(state, batch_to_device(batch, bs), rng)
+                batch_dev = batch_to_device(batch, bs)
+                if self.is_moco:
+                    # ALBEF alpha ramps linearly over epoch 0
+                    # (ref: training/train.py:115)
+                    alpha = (self.alpha * min(1.0, i / n_iters)
+                             if epoch == 0 else self.alpha)
+                    state, moco, metrics = self._train_step(
+                        state, moco, batch_dev, rng, jnp.float32(alpha))
+                else:
+                    state, metrics = self._train_step(state, batch_dev, rng)
                 if not bool(metrics["loss_finite"]):
                     raise RuntimeError(f"non-finite Stage-I loss at epoch {epoch} it {i}")
                 loss_m.update(float(metrics["loss"]))
+                if i == 0:
+                    # in-train eval-one-example: zero-shot probe + similarity
+                    # heatmaps on the first train batch of every epoch
+                    # (ref: training/train.py:168-232)
+                    params_now = {**state.frozen, **state.trainable}
+                    one = (self._eval_step(params_now, moco, batch_dev,
+                                           self.zero_shot_window)
+                           if self.is_moco else
+                           self._eval_step(params_now, batch_dev,
+                                           self.zero_shot_window))
+                    self.logger.log_scalar("train/precision_one_batch",
+                                           float(one["precision"]), epoch)
+                    self.log_similarity_matrices(one, state, "train", epoch)
             self.logger.log_scalar("train/loss", loss_m.avg, epoch)
 
             # zero-shot shifted-window validation
             loaders["valid"].set_epoch(epoch)
             prec_m, vloss_m = Meter(), Meter()
             for batch in loaders["valid"]:
-                out = self._eval_step({**state.frozen, **state.trainable},
-                                      batch_to_device(batch, bs),
-                                      self.zero_shot_window)
+                params_now = {**state.frozen, **state.trainable}
+                if self.is_moco:
+                    out = self._eval_step(params_now, moco,
+                                          batch_to_device(batch, bs),
+                                          self.zero_shot_window)
+                else:
+                    out = self._eval_step(params_now, batch_to_device(batch, bs),
+                                          self.zero_shot_window)
                 prec_m.update(float(out["precision"]))
                 vloss_m.update(float(out["loss"]))
+            self.log_similarity_matrices(out, state, "valid", epoch)
             metrics_global = gather_dict({"precision": prec_m.avg, "loss": vloss_m.avg})
             self.logger.log_dict(metrics_global, epoch, prefix="valid/")
             self.logger.append_results("valid", {"epoch": epoch, **metrics_global})
 
-            if stopper.update(metrics_global["precision"]):
-                self.ckpt.save(epoch, {
-                    "trainable": jax.tree.map(np.asarray, state.trainable),
-                    "opt_state": jax.tree.map(np.asarray, state.opt_state),
-                    "epoch": epoch},
+            improved = stopper.update(metrics_global["precision"])
+            # epoch_latest every epoch, epoch_best on improvement
+            # (ref: train_clip.py:396-441)
+            payload = {
+                "trainable": jax.tree.map(np.asarray, state.trainable),
+                "opt_state": jax.tree.map(np.asarray, state.opt_state),
+                "epoch": epoch, "stopper": stopper.state_dict()}
+            if self.is_moco:
+                payload["moco"] = jax.tree.map(np.asarray, moco)
+            self.ckpt.save_latest(epoch, payload)
+            if improved:
+                self.ckpt.save_best(
+                    epoch, payload,
                     metrics={"best_metric": float(metrics_global["precision"])})
             results = {"precision": metrics_global["precision"],
                        "loss": metrics_global["loss"], "epoch": epoch}
@@ -269,6 +338,7 @@ class AVCLIPTrainer:
                 logging.info(f"Stage-I early stop at epoch {epoch}")
                 break
         self._state = state
+        self._moco = moco
         return results
 
 

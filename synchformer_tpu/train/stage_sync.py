@@ -126,8 +126,12 @@ class SyncTrainer:
             max_clip_norm=float(training.get("max_clip_norm", 1.0)))
 
         logdir = cfg.get("logging", {}).get("logdir", "./logs/sync_models")
+        # pinning exp_name reuses an existing experiment dir — required for
+        # resume to find the previous run's checkpoints (the reference
+        # restores cfg.start_time from the ckpt, ref: train_utils.py:53-60)
         self.logger = ExperimentLogger(
-            logdir, cfg=cfg if isinstance(cfg, dict) else None,
+            logdir, exp_name=cfg.get("logging", {}).get("exp_name"),
+            cfg=cfg if isinstance(cfg, dict) else None,
             is_master=jax.process_index() == 0,
             log_code_state=bool(cfg.get("logging", {}).get("log_code_state", False)),
             use_wandb=bool(cfg.get("logging", {}).get("use_wandb", False)))
@@ -186,51 +190,22 @@ class SyncTrainer:
         return params
 
     def _compile_steps(self):
-        model = self.model
         mel_cfg = self.mel_cfg
         p_flip = self.pipe_cfg.p_horizontal_flip
         dtype = self.compute_dtype
-        target_key = self.target_key
-
         p_cj = self.pipe_cfg.p_color_jitter
         p_gs = self.pipe_cfg.p_gray_scale
 
-        def train_step(state, raw_batch, rng):
-            rng = jax.random.fold_in(rng, state.step)
-            prep_rng, model_rng = jax.random.split(rng)
-            vis, aud = _device_preprocess(raw_batch, train=True, rng=prep_rng,
-                                          mel_cfg=mel_cfg, p_flip=p_flip,
-                                          p_color_jitter=p_cj, p_gray_scale=p_gs,
-                                          dtype=dtype)
+        def preprocess(raw_batch, train: bool, rng=None):
+            return _device_preprocess(raw_batch, train=train, rng=rng,
+                                      mel_cfg=mel_cfg, p_flip=p_flip,
+                                      p_color_jitter=p_cj, p_gray_scale=p_gs,
+                                      dtype=dtype)
 
-            def loss_fn(trainable):
-                params = {**state.frozen, **trainable}
-                loss, logits = model.apply(
-                    {"params": params}, vis, aud, raw_batch[target_key],
-                    deterministic=False, extractors_deterministic=True,
-                    rngs={"dropout": model_rng,
-                          "droppath": jax.random.fold_in(model_rng, 1)})
-                return loss, logits
-
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.trainable)
-            new_state, _ = state.apply_gradients(grads)
-            metrics = {
-                "loss": loss,
-                "accuracy_1": (jnp.argmax(logits, -1) == raw_batch[target_key]).mean(),
-                "loss_finite": jnp.isfinite(loss),
-            }
-            return new_state, metrics
-
-        def eval_step(trainable, frozen, raw_batch):
-            vis, aud = _device_preprocess(raw_batch, train=False,
-                                          mel_cfg=mel_cfg, dtype=dtype)
-            params = {**frozen, **trainable}
-            _, logits = model.apply({"params": params}, vis, aud, deterministic=True)
-            return logits.astype(jnp.float32)
-
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._eval_step = jax.jit(eval_step)
+        self._train_step = make_sync_train_step(
+            self.model, preprocess=preprocess, target_key=self.target_key)
+        self._eval_step = make_sync_eval_step(
+            self.model, preprocess=preprocess, target_key=self.target_key)
 
     # ------------------------------------------------------------------
     def dump_input_reconstruction(self, batch: Dict[str, np.ndarray], tag: str):
@@ -296,8 +271,8 @@ class SyncTrainer:
         for batch in loader:
             mask = batch.pop("pad_mask", np.ones(len(batch["video"]), bool))
             batch_dev = batch_to_device(batch, bs)
-            logits = self._eval_step(state.trainable, state.frozen, batch_dev)
-            all_logits.append(np.asarray(logits)[mask])
+            out = self._eval_step(state.trainable, state.frozen, batch_dev)
+            all_logits.append(np.asarray(out["logits"])[mask])
             all_targets.append(np.asarray(batch[self.target_key])[mask])
         gathered = gather_dict({"logits": np.concatenate(all_logits),
                                 "targets": np.concatenate(all_targets)})
@@ -309,32 +284,63 @@ class SyncTrainer:
         return metrics
 
     # ------------------------------------------------------------------
-    def maybe_resume(self, state: SyncTrainState) -> tuple:
+    def maybe_resume(self, state: SyncTrainState, stopper: "EarlyStopper") -> tuple:
         """Resume/finetune semantics (ref: scripts/train_sync.py:68-99,
         train_utils.py:251-290): resume restores trainable params + optimizer
-        + epoch counter; finetune loads params only and resets counters."""
+        + epoch counter + early-stopper state; finetune loads params
+        NON-STRICTLY (fresh heads survive as missing keys, incompatible ckpt
+        keys are dropped, the sync pos-emb is trimmed to the current model's
+        sequence length per ref sync_model.py:101-114) and resets counters."""
         training = self.cfg.get("training", {})
         start_epoch = 0
         ckpt_path = training.get("ckpt_path")
         if training.get("resume") and self.ckpt.latest_step() is not None:
-            payload = self.ckpt.restore(template={
+            payload = self.ckpt.restore_latest(template={
                 "trainable": state.trainable, "opt_state": state.opt_state,
-                "step": 0, "epoch": 0})
+                "step": 0, "epoch": 0, "stopper": stopper.state_dict()})
             state = state.replace(trainable=payload["trainable"],
                                   opt_state=payload["opt_state"],
                                   step=jnp.asarray(payload["step"], jnp.int32))
+            stopper.load_state_dict(payload["stopper"])
             start_epoch = int(payload["epoch"]) + 1
             logging.info(f"resumed from epoch {start_epoch - 1} "
-                         "(params + optimizer state)")
+                         "(params + optimizer + early-stopper state)")
         elif training.get("finetune") and ckpt_path:
             from synchformer_tpu.utils.checkpoint import (
                 convert_sync_checkpoint,
                 load_torch_checkpoint,
+                merge_params_nonstrict,
+                trim_sync_pos_emb,
             )
 
-            params = convert_sync_checkpoint(load_torch_checkpoint(ckpt_path))
-            trainable = {k: v for k, v in params.items() if k in state.trainable}
-            frozen = {k: v for k, v in params.items() if k not in state.trainable}
+            init_params = {**state.frozen, **state.trainable}
+            # trim the ckpt's pos emb (e.g. 198 for S=14) to this model's
+            # sequence length (e.g. 184 for S=13, ref: sync_model.py:101-114)
+            pos = init_params.get("sync_transformer", {}).get("pos_emb", {})
+            target_seq_len = (int(pos["pos_emb"].shape[1])
+                              if "pos_emb" in pos else None)
+            if str(ckpt_path).endswith((".pt", ".pth", ".pyth")):
+                # reference torch checkpoint
+                loaded = convert_sync_checkpoint(load_torch_checkpoint(ckpt_path),
+                                                 target_seq_len=target_seq_len)
+            else:
+                # our own orbax Stage-II run dir: payload carries the
+                # trainable subtree only (towers were frozen in Stage II and
+                # are re-initialized from Stage-I ckpts by build_state)
+                from synchformer_tpu.utils.checkpoint import CheckpointManager
+
+                src = CheckpointManager(ckpt_path)
+                loaded = src.restore_latest()["trainable"]
+                loaded = trim_sync_pos_emb(loaded, target_seq_len)
+            merged, report = merge_params_nonstrict(init_params, loaded)
+            for field in ("missing", "unexpected", "mismatched"):
+                if report[field]:
+                    logging.warning(
+                        f"finetune ckpt load {field} keys (fresh heads are "
+                        f"expected here, ref train_sync.py:76-82): "
+                        f"{report[field][:8]}{'...' if len(report[field]) > 8 else ''}")
+            trainable = {k: merged[k] for k in state.trainable}
+            frozen = {k: merged[k] for k in state.frozen}
             state = state.replace(trainable=trainable, frozen=frozen)
             logging.info(f"finetuning from {ckpt_path} (counters reset)")
         return state, start_epoch
@@ -370,12 +376,12 @@ class SyncTrainer:
         }
         first_batch = next(iter(loaders["valid"]))
         state = self.build_state(first_batch, pretrained_params)
-        state, start_epoch = self.maybe_resume(state)
+        stopper = EarlyStopper(self.patience, to_max=True)
+        state, start_epoch = self.maybe_resume(state, stopper)
         self._compile_steps()
         self._state = state
         rng = jax.device_put(jax.random.PRNGKey(self.seed), replicated(self.mesh))
 
-        stopper = EarlyStopper(self.patience, to_max=True)
         best_metrics: Dict[str, float] = {}
         epochs = max_epochs if max_epochs is not None else self.num_epochs
         if self.run_test_only:
@@ -384,11 +390,24 @@ class SyncTrainer:
             epochs = 0
             best = self.ckpt.best_step()
             if best is not None:
-                payload = self.ckpt.restore(best, template={
+                payload = self.ckpt.restore_best(best, template={
                     "trainable": self._state.trainable,
-                    "opt_state": self._state.opt_state, "step": 0, "epoch": 0})
+                    "opt_state": self._state.opt_state, "step": 0, "epoch": 0,
+                    "stopper": stopper.state_dict()})
                 self._state = self._state.replace(trainable=payload["trainable"])
                 logging.info(f"run_test_only: restored best ckpt (epoch {best})")
+
+        def full_payload(epoch: int) -> Dict[str, Any]:
+            # full payload for exact resume: params + optimizer state +
+            # counters + early-stopper state (ref ckpt dict:
+            # utils/logger.py:139-160 model/optimizer/scaler/epoch/metrics)
+            return {
+                "trainable": jax.tree.map(np.asarray, self._state.trainable),
+                "opt_state": jax.tree.map(np.asarray, self._state.opt_state),
+                "step": int(self._state.step), "epoch": epoch,
+                "stopper": stopper.state_dict(),
+            }
+
         for epoch in range(start_epoch, epochs):
             with self._maybe_profile(epoch):
                 train_metrics = self.run_phase(self._state, loaders["train"], epoch,
@@ -401,15 +420,14 @@ class SyncTrainer:
                 k: v for k, v in valid_metrics.items() if isinstance(v, float)}})
 
             monitored = valid_metrics[self.metric_name]
-            if stopper.update(monitored):
+            improved = stopper.update(monitored)
+            # latest after every epoch for crash-resume, best on improvement
+            # (ref: train_sync.py:257-267 log_latest_model/log_best_model)
+            self.ckpt.save_latest(epoch, full_payload(epoch))
+            if improved:
                 best_metrics = dict(valid_metrics)
-                # full payload for exact resume: params + optimizer state +
-                # counters (ref ckpt dict: utils/logger.py:139-160)
-                self.ckpt.save(epoch, {
-                    "trainable": jax.tree.map(np.asarray, self._state.trainable),
-                    "opt_state": jax.tree.map(np.asarray, self._state.opt_state),
-                    "step": int(self._state.step), "epoch": epoch,
-                }, metrics={"best_metric": float(monitored)})
+                self.ckpt.save_best(epoch, full_payload(epoch),
+                                    metrics={"best_metric": float(monitored)})
             if stopper.triggered:
                 logging.info(f"early stop at epoch {epoch} "
                              f"(best {self.metric_name}={stopper.best:.4f})")
@@ -431,10 +449,10 @@ class SyncTrainer:
                 for batch in test_loader:
                     mask = batch.pop("pad_mask",
                                      np.ones(len(batch["video"]), bool))
-                    logits = self._eval_step(self._state.trainable,
-                                             self._state.frozen,
-                                             batch_to_device(batch, bs))
-                    accum_logits.append(np.asarray(logits)[mask])
+                    out = self._eval_step(self._state.trainable,
+                                          self._state.frozen,
+                                          batch_to_device(batch, bs))
+                    accum_logits.append(np.asarray(out["logits"])[mask])
                     accum_targets.append(np.asarray(batch[self.target_key])[mask])
             gathered = gather_dict({"logits": np.concatenate(accum_logits),
                                     "targets": np.concatenate(accum_targets)})
@@ -443,8 +461,28 @@ class SyncTrainer:
                 topk=(1, 5) if self.num_cls > 2 else (1,),
                 calc_pr_rec_f1=self.num_cls == 2)
             self.logger.log_test_metrics(test_metrics)
+            self._dump_test_plots(gathered["targets"], gathered["logits"])
             results["test"] = test_metrics
         return results
+
+    def _dump_test_plots(self, targets: np.ndarray, logits: np.ndarray):
+        """Per-class accuracy bars + pred/target histograms for the test
+        phase (ref: scripts/train_utils.py:440-563). Observability only."""
+        if jax.process_index() != 0:
+            return
+        try:
+            from synchformer_tpu.utils.viz import (
+                plot_per_class_accuracy,
+                plot_pred_target_hist,
+            )
+
+            plots = self.logger.logdir / "plots"
+            plot_per_class_accuracy(per_class_accuracy(targets, logits),
+                                    str(plots / "test_per_class_accuracy.png"))
+            plot_pred_target_hist(targets, np.argmax(logits, -1), self.num_cls,
+                                  str(plots / "test_pred_target_hist.png"))
+        except Exception as e:  # never kill a finished run over a plot
+            logging.warning(f"test-phase plots failed: {e}")
 
 
 def train(cfg: Dict[str, Any], **fit_kwargs):

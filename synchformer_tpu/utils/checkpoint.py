@@ -324,6 +324,67 @@ def extract_tower_from_avclip(ckpt: Mapping, tower: str) -> Dict:
     raise ValueError(tower)
 
 
+def trim_sync_pos_emb(params: Mapping, target_seq_len: Optional[int]) -> Dict:
+    """Apply the reference's pos-emb trim rule to an already-converted params
+    tree (ref: model/sync_model.py:101-114): trim a longer checkpoint pos emb
+    to the current model's sequence length, refuse a shorter one."""
+    if target_seq_len is None:
+        return dict(params)
+    st = params.get("sync_transformer", params)
+    pos_cfg = st.get("pos_emb")
+    if not pos_cfg or "pos_emb" not in pos_cfg:
+        return dict(params)
+    pos = np.asarray(pos_cfg["pos_emb"])
+    if pos.shape[1] > target_seq_len:
+        logging.warning(f"trimming sync pos emb {pos.shape[1]} -> {target_seq_len}")
+        pos = pos[:, :target_seq_len]
+    elif pos.shape[1] < target_seq_len:
+        raise ValueError(
+            f"cannot load shorter pos emb ({pos.shape[1]} < {target_seq_len})")
+    new_st = {**st, "pos_emb": {**pos_cfg, "pos_emb": pos}}
+    if "sync_transformer" in params:
+        return {**params, "sync_transformer": new_st}
+    return new_st
+
+
+def merge_params_nonstrict(init_params: Mapping, loaded: Mapping,
+                           _path: str = "") -> tuple:
+    """torch's ``load_state_dict(strict=False)`` for nested param trees
+    (ref: scripts/train_sync.py:68-99, train_utils.py:251-265).
+
+    Keys present in both trees with matching shapes take the loaded value;
+    model-only keys keep their fresh initialization (``missing``, e.g. the
+    2-class sync_head during Stage-III finetuning); ckpt-only keys are
+    dropped (``unexpected``); shape mismatches keep the fresh value and are
+    reported (``mismatched``).
+    """
+    report = {"missing": [], "unexpected": [], "mismatched": []}
+    merged: Dict[str, Any] = {}
+    for key, init_val in init_params.items():
+        path = f"{_path}{key}"
+        if key not in loaded:
+            report["missing"].append(path)
+            merged[key] = init_val
+        elif isinstance(init_val, Mapping):
+            sub, sub_report = merge_params_nonstrict(init_val, loaded[key],
+                                                     _path=path + ".")
+            merged[key] = sub
+            for field in report:
+                report[field].extend(sub_report[field])
+        else:
+            new_val = loaded[key]
+            if np.shape(new_val) != np.shape(init_val):
+                report["mismatched"].append(
+                    f"{path}: ckpt {np.shape(new_val)} vs model {np.shape(init_val)}")
+                merged[key] = init_val
+            else:
+                merged[key] = new_val
+    for key in loaded:
+        if key not in init_params:
+            report["unexpected"].append(f"{_path}{key}")
+    return merged, report
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     """torch.load a reference .pt/.pyth file (CPU, weights only when possible)."""
     import torch
@@ -339,39 +400,61 @@ def load_torch_checkpoint(path: str) -> Dict:
 # ---------------------------------------------------------------------------
 
 class CheckpointManager:
-    """best/latest checkpointing with orbax (atomic by construction)."""
+    """best + latest checkpointing with orbax (atomic by construction).
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    Mirrors the reference's two-file cadence (ref: utils/logger.py:139-160,
+    scripts/train_sync.py:257-267): ``save_latest`` after every training
+    epoch for crash-resume, ``save_best`` when the early-stop metric
+    improves. Two orbax managers over ``<dir>/latest`` and ``<dir>/best``;
+    each save is atomic (tmp dir + rename inside orbax — the reference
+    hand-rolls tmp->os.replace, ref: train_clip.py:425-441).
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 2):
         import orbax.checkpoint as ocp
 
         self._dir = Path(directory).absolute()
-        self._dir.mkdir(parents=True, exist_ok=True)
         self._ocp = ocp
-        self._mngr = ocp.CheckpointManager(
-            self._dir,
+        opts = dict(create=True, max_to_keep=max_to_keep)
+        self._latest = ocp.CheckpointManager(
+            self._dir / "latest", options=ocp.CheckpointManagerOptions(**opts))
+        self._best = ocp.CheckpointManager(
+            self._dir / "best",
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, best_fn=lambda m: m.get("best_metric", 0.0),
-                create=True),
-        )
+                best_fn=lambda m: m.get("best_metric", 0.0), **opts))
 
-    def save(self, step: int, payload: Dict[str, Any],
-             metrics: Optional[Dict[str, float]] = None) -> None:
-        self._mngr.save(step, args=self._ocp.args.StandardSave(payload),
-                        metrics=metrics or {})
-        self._mngr.wait_until_finished()
+    def _save(self, mngr, step: int, payload: Dict[str, Any],
+              metrics: Optional[Dict[str, float]]) -> None:
+        mngr.save(step, args=self._ocp.args.StandardSave(payload),
+                  metrics=metrics or {})
+        mngr.wait_until_finished()
 
-    def restore(self, step: Optional[int] = None,
-                template: Optional[Any] = None) -> Dict[str, Any]:
-        step = self._mngr.latest_step() if step is None else step
+    def save_latest(self, step: int, payload: Dict[str, Any],
+                    metrics: Optional[Dict[str, float]] = None) -> None:
+        self._save(self._latest, step, payload, metrics)
+
+    def save_best(self, step: int, payload: Dict[str, Any],
+                  metrics: Optional[Dict[str, float]] = None) -> None:
+        self._save(self._best, step, payload, metrics)
+
+    def _restore(self, mngr, step: Optional[int], template) -> Dict[str, Any]:
+        step = mngr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self._dir}")
         if template is not None:
-            return self._mngr.restore(
-                step, args=self._ocp.args.StandardRestore(template))
-        return self._mngr.restore(step)
+            return mngr.restore(step, args=self._ocp.args.StandardRestore(template))
+        return mngr.restore(step)
+
+    def restore_latest(self, step: Optional[int] = None,
+                       template: Optional[Any] = None) -> Dict[str, Any]:
+        return self._restore(self._latest, step, template)
+
+    def restore_best(self, step: Optional[int] = None,
+                     template: Optional[Any] = None) -> Dict[str, Any]:
+        return self._restore(self._best, step, template)
 
     def latest_step(self) -> Optional[int]:
-        return self._mngr.latest_step()
+        return self._latest.latest_step()
 
     def best_step(self) -> Optional[int]:
-        return self._mngr.best_step()
+        return self._best.best_step()

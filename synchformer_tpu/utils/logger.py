@@ -154,3 +154,14 @@ class EarlyStopper:
             if self.count >= self.patience:
                 self.triggered = True
         return improved
+
+    def state_dict(self) -> Dict[str, float]:
+        """Persisted in every latest-checkpoint so a crash-resume keeps both
+        the best metric AND the patience counter (the reference stores only
+        the best metrics, ref: train_sync.py:99 early_stopper.set_best_metrics)."""
+        return {"best": float(self.best), "count": int(self.count)}
+
+    def load_state_dict(self, sd: Dict[str, float]) -> None:
+        self.best = float(sd["best"])
+        self.count = int(sd["count"])
+        self.triggered = self.count >= self.patience

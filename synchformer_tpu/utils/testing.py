@@ -16,8 +16,14 @@ def make_sync_reference_sd(rng, d: int = 768, depth: int = 12, n_layer: int = 3,
                            ast_f: int = 12, ast_t: int = 6,
                            patch: int = 16, z_block: int = 2,
                            n_segments: int = 14, num_cls: int = 21,
-                           scale: float = 0.02) -> dict:
-    """Full Stage-II 'model' state dict in the reference's key layout."""
+                           scale: float = 0.02,
+                           v_patch: int = None, a_patch: int = None) -> dict:
+    """Full Stage-II 'model' state dict in the reference's key layout.
+
+    v_patch/a_patch override the per-tower patch sizes (defaults to `patch`
+    for both, the real checkpoints' 16/16 layout)."""
+    v_patch = patch if v_patch is None else v_patch
+    a_patch = patch if a_patch is None else a_patch
 
     def r(*shape):
         return (rng.standard_normal(shape) * scale).astype(np.float32)
@@ -49,7 +55,7 @@ def make_sync_reference_sd(rng, d: int = 768, depth: int = 12, n_layer: int = 3,
     sd[p + "cls_token"] = r(1, 1, d)
     sd[p + "pos_embed"] = r(1, n_spatial + 1, d)
     sd[p + "temp_embed"] = r(1, f_frames, d)
-    sd[p + "patch_embed_3d.proj.weight"] = r(d, 3, z_block, patch, patch)
+    sd[p + "patch_embed_3d.proj.weight"] = r(d, 3, z_block, v_patch, v_patch)
     sd[p + "patch_embed_3d.proj.bias"] = zeros(d)
     sd[p + "norm.weight"] = ones(d)
     sd[p + "norm.bias"] = zeros(d)
@@ -74,7 +80,7 @@ def make_sync_reference_sd(rng, d: int = 768, depth: int = 12, n_layer: int = 3,
     sd[p + "ast.embeddings.cls_token"] = r(1, 1, d)
     sd[p + "ast.embeddings.distillation_token"] = r(1, 1, d)
     sd[p + "ast.embeddings.position_embeddings"] = r(1, 2 + ast_f * ast_t, d)
-    sd[p + "ast.embeddings.patch_embeddings.projection.weight"] = r(d, 1, patch, patch)
+    sd[p + "ast.embeddings.patch_embeddings.projection.weight"] = r(d, 1, a_patch, a_patch)
     sd[p + "ast.embeddings.patch_embeddings.projection.bias"] = zeros(d)
     sd[p + "ast.layernorm.weight"] = ones(d)
     sd[p + "ast.layernorm.bias"] = zeros(d)

@@ -21,18 +21,18 @@ def test_save_restore_roundtrip_with_opt_state(tmp_path, rng):
     state, _ = state.apply_gradients(grads)
 
     mngr = CheckpointManager(str(tmp_path / "ckpts"))
-    mngr.save(0, {"trainable": jax.tree.map(np.asarray, state.trainable),
-                  "opt_state": jax.tree.map(np.asarray, state.opt_state),
-                  "step": int(state.step), "epoch": 0},
-              metrics={"best_metric": 0.5})
-    mngr.save(1, {"trainable": jax.tree.map(np.asarray, state.trainable),
-                  "opt_state": jax.tree.map(np.asarray, state.opt_state),
-                  "step": int(state.step), "epoch": 1},
-              metrics={"best_metric": 0.9})
+    def payload_at(epoch):
+        return {"trainable": jax.tree.map(np.asarray, state.trainable),
+                "opt_state": jax.tree.map(np.asarray, state.opt_state),
+                "step": int(state.step), "epoch": epoch}
+    mngr.save_latest(0, payload_at(0))
+    mngr.save_best(0, payload_at(0), metrics={"best_metric": 0.5})
+    mngr.save_latest(1, payload_at(1))
+    mngr.save_best(1, payload_at(1), metrics={"best_metric": 0.9})
 
     assert mngr.latest_step() == 1
     assert mngr.best_step() == 1
-    payload = mngr.restore(template={
+    payload = mngr.restore_latest(template={
         "trainable": state.trainable, "opt_state": state.opt_state,
         "step": 0, "epoch": 0})
     np.testing.assert_allclose(
@@ -43,6 +43,86 @@ def test_save_restore_roundtrip_with_opt_state(tmp_path, rng):
     current_mu = jax.tree_util.tree_leaves(state.opt_state)
     for a, b in zip(restored_mu, current_mu):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_latest_and_best_stores_are_independent(tmp_path):
+    """latest saved every epoch regardless of metric; best only on
+    improvement (ref cadence: train_sync.py:257-267)."""
+    mngr = CheckpointManager(str(tmp_path / "ckpts"))
+    mngr.save_latest(0, {"epoch": 0, "x": 1.0})
+    mngr.save_best(0, {"epoch": 0, "x": 1.0},
+                   metrics={"best_metric": 0.9})
+    # epochs 1-2: metric got worse -> only latest advances
+    mngr.save_latest(1, {"epoch": 1, "x": 2.0})
+    mngr.save_latest(2, {"epoch": 2, "x": 3.0})
+    assert mngr.latest_step() == 2
+    assert mngr.best_step() == 0
+    latest = mngr.restore_latest(template={"epoch": 0, "x": 0.0})
+    best = mngr.restore_best(template={"epoch": 0, "x": 0.0})
+    assert int(latest["epoch"]) == 2 and float(latest["x"]) == 3.0
+    assert int(best["epoch"]) == 0 and float(best["x"]) == 1.0
+
+
+def test_merge_params_nonstrict():
+    """Non-strict finetune merge: fresh heads kept, ckpt-only keys dropped,
+    shape mismatches kept fresh (ref: train_sync.py:68-82 strict=False)."""
+    from synchformer_tpu.utils.checkpoint import merge_params_nonstrict
+
+    init = {"sync_transformer": {"blocks_0": {"w": np.zeros((4, 4))},
+                                 "sync_head": {"kernel": np.zeros((4, 2))},
+                                 "off_head": {"kernel": np.zeros((4, 21))}}}
+    loaded = {"sync_transformer": {"blocks_0": {"w": np.ones((4, 4))},
+                                   "off_head": {"kernel": np.full((4, 21), 2.0)},
+                                   "extra": {"w": np.ones((3,))}}}
+    merged, report = merge_params_nonstrict(init, loaded)
+    np.testing.assert_array_equal(merged["sync_transformer"]["blocks_0"]["w"],
+                                  np.ones((4, 4)))
+    # off_head shapes match -> loaded; sync_head missing -> fresh
+    np.testing.assert_array_equal(merged["sync_transformer"]["off_head"]["kernel"],
+                                  np.full((4, 21), 2.0))
+    np.testing.assert_array_equal(merged["sync_transformer"]["sync_head"]["kernel"],
+                                  np.zeros((4, 2)))
+    assert report["missing"] == ["sync_transformer.sync_head"]
+    assert report["unexpected"] == ["sync_transformer.extra"]
+    # shape mismatch keeps fresh value
+    loaded2 = {"sync_transformer": {"blocks_0": {"w": np.ones((8, 8))}}}
+    merged2, report2 = merge_params_nonstrict(init, loaded2)
+    np.testing.assert_array_equal(merged2["sync_transformer"]["blocks_0"]["w"],
+                                  np.zeros((4, 4)))
+    assert len(report2["mismatched"]) == 1
+
+
+def test_trim_sync_pos_emb():
+    """Pos-emb trim rule (ref: model/sync_model.py:101-114): longer ckpt is
+    trimmed, shorter raises."""
+    from synchformer_tpu.utils.checkpoint import trim_sync_pos_emb
+
+    params = {"sync_transformer": {"pos_emb": {"pos_emb": np.arange(198)
+                                               .reshape(1, 198, 1).astype(np.float32)}}}
+    out = trim_sync_pos_emb(params, 184)
+    assert out["sync_transformer"]["pos_emb"]["pos_emb"].shape == (1, 184, 1)
+    np.testing.assert_array_equal(
+        out["sync_transformer"]["pos_emb"]["pos_emb"][0, :, 0], np.arange(184))
+    with pytest.raises(ValueError):
+        trim_sync_pos_emb(params, 200)
+    # no-op cases
+    assert trim_sync_pos_emb(params, None)["sync_transformer"] is params["sync_transformer"]
+    assert trim_sync_pos_emb({"sync_transformer": {}}, 184) == {"sync_transformer": {}}
+
+
+def test_early_stopper_state_roundtrip():
+    from synchformer_tpu.utils.logger import EarlyStopper
+
+    s = EarlyStopper(patience=3, to_max=True)
+    s.update(0.5)
+    s.update(0.4)  # worse -> count=1
+    sd = s.state_dict()
+    assert sd == {"best": 0.5, "count": 1}
+    s2 = EarlyStopper(patience=3, to_max=True)
+    s2.load_state_dict(sd)
+    assert s2.best == 0.5 and s2.count == 1 and not s2.triggered
+    assert not s2.update(0.45)  # still worse -> count=2
+    assert s2.count == 2
 
 
 def test_metrics_doubt_class_exclusion():

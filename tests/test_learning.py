@@ -30,15 +30,21 @@ def test_sync_train_step_overfits_one_batch(rng):
     key = jax.random.PRNGKey(0)
 
     first_loss = None
-    for i in range(40):
+    for i in range(80):
         state, metrics = step(state, batch, key)
         if first_loss is None:
             first_loss = float(metrics["loss"])
-    final_loss = float(metrics["loss"])
-    assert np.isfinite(final_loss)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # judge the fit on a DETERMINISTIC forward (the in-step metrics ride the
+    # dropout forward, so they are rng-stream-dependent noise)
+    eval_loss, eval_logits = model.apply(
+        {"params": {**state.frozen, **state.trainable}},
+        batch["vis"], batch["aud"], batch["targets"], deterministic=True)
     # overfitting 4 examples with a trainable head must crush the loss
-    assert final_loss < first_loss * 0.5, (first_loss, final_loss)
-    assert float(metrics["accuracy_1"]) >= 0.75
+    assert float(eval_loss) < first_loss * 0.5, (first_loss, float(eval_loss))
+    acc = float((jnp.argmax(eval_logits, -1) == batch["targets"]).mean())
+    assert acc >= 0.75, acc
 
     # frozen towers really are frozen: their params did not move
     leaf0 = jax.tree_util.tree_leaves(params["v_encoder"])[0]

@@ -25,6 +25,36 @@ def test_pallas_kernel_matches_xla(rng, mode):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("mode", ["space", "time"])
+def test_pallas_with_mask_falls_back_to_xla(rng, mode, caplog):
+    """attn_impl='pallas' + keep_mask: the kernels are unmasked-only, so the
+    module must route to the (masked) XLA path with identical numerics and a
+    one-time warning — never a silent wrong answer."""
+    import logging
+
+    import synchformer_tpu.models.motionformer as mf
+
+    f, n, heads, dh = 3, 8, 4, 8
+    seq, d = 1 + f * n, heads * dh
+    x = jnp.asarray(rng.standard_normal((2, seq, d)).astype(np.float32))
+    keep = np.ones((2, seq), dtype=bool)
+    keep[:, 5:9] = False
+    keep = jnp.asarray(keep)
+
+    attn_x = DividedAttention(num_heads=heads, attn_impl="xla")
+    variables = attn_x.init(jax.random.PRNGKey(0), x, f, mode)
+    golden = attn_x.apply(variables, x, f, mode, keep_mask=keep)
+
+    mf._WARNED_PALLAS_MASK_FALLBACK = False
+    attn_p = DividedAttention(num_heads=heads, attn_impl="pallas")
+    with caplog.at_level(logging.WARNING):
+        got = attn_p.apply(variables, x, f, mode, keep_mask=keep)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               rtol=1e-6, atol=1e-7)
+    assert mf._WARNED_PALLAS_MASK_FALLBACK
+    assert any("falling back" in r.message for r in caplog.records)
+
+
 def test_pallas_encoder_matches_xla(rng):
     params = dict(embed_dim=32, depth=2, num_heads=4, patch_size=8, z_block_size=2,
                   temporal_resolution=2, img_size=16, drop_path_rate=0.0)

