@@ -105,7 +105,7 @@ class DividedAttention(nn.Module):
         assert 1 + f * n == seq, (seq, f)
         qkv_kernel, qkv_bias = DenseParams(d, 3 * d, name="qkv")()
 
-        if self.attn_impl == "pallas" and keep_mask is not None:
+        if self.attn_impl in ("pallas", "pallas_fused") and keep_mask is not None:
             # the pallas kernels do not support keep-masks; warn once and fall
             # through to the XLA path (~2x slower) instead of silently
             # degrading with no trace
@@ -119,23 +119,28 @@ class DividedAttention(nn.Module):
                     "unmasked-only). This warning is shown once.")
                 _WARNED_PALLAS_MASK_FALLBACK = True
 
-        if self.attn_impl == "pallas" and keep_mask is None:
+        if self.attn_impl in ("pallas", "pallas_fused") and keep_mask is None:
             from synchformer_tpu.ops.pallas.divided_attention_bwd import (
                 divided_attention,
             )
-            from synchformer_tpu.ops.pallas.fused_block import (
-                fused_divided_attention,
-            )
 
-            if ln is not None:
-                # LN + QKV matmul + attention in ONE kernel: x is read from
-                # HBM once; ln/qkv never round-trip (custom VJP falls back to
-                # the composed reference for gradients)
+            if ln is not None and self.attn_impl == "pallas_fused":
+                # LN + QKV matmul + attention in ONE kernel. Opt-in only:
+                # measured SLOWER than the composition below on v5e (the
+                # sequential head axis required by the qkv scratch breaks
+                # Mosaic's cross-program pipelining: space 21.5 vs 17.7
+                # ms/layer) — kept for future hardware/toolchain revisits.
+                from synchformer_tpu.ops.pallas.fused_block import (
+                    fused_divided_attention,
+                )
+
                 out = fused_divided_attention(
                     x, ln[0], ln[1],
                     qkv_kernel.astype(self.dtype), qkv_bias.astype(self.dtype),
                     h, f, mode, self.ln_eps)
             else:
+                if ln is not None:
+                    x = layer_norm(x, ln[0], ln[1], self.ln_eps, self.dtype)
                 qkv_flat = dense(x, qkv_kernel, qkv_bias, self.dtype)
                 # custom-vjp wrapper: fused pallas forward AND backward kernels
                 out = divided_attention(qkv_flat, h, f, mode)
@@ -241,7 +246,10 @@ class DividedSpaceTimeBlock(nn.Module):
         ln2_scale, ln2_bias = LNParams(d, name="norm2")()
         k1, b1, k2, b2 = MlpParams(d, int(d * self.mlp_ratio), name="mlp")()
         stochastic = not deterministic and (self.dropout > 0.0 or self.drop_path > 0.0)
-        if self.attn_impl == "pallas" and not stochastic:
+        if self.attn_impl == "pallas_fused" and not stochastic:
+            # opt-in only: measured ~7% slower than the XLA composition on
+            # v5e (XLA pipelines the GELU VPU work against the matmuls of
+            # adjacent tiles; the monolithic kernel serializes them)
             from synchformer_tpu.ops.pallas.fused_block import fused_mlp_residual
 
             x = fused_mlp_residual(x, ln2_scale, ln2_bias,

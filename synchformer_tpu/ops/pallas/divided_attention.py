@@ -45,25 +45,88 @@ def _cls_row(q, k, v, o_ref, s: int, col0: int):
 
 
 def _space_segment(q, k, v, o_ref, s: int, col0: int, f: int, n: int):
-    """One (segment, head): CLS row + per-frame attention, CLS key folded in."""
+    """One (segment, head): CLS row + per-frame attention, CLS key folded in.
+
+    The f per-frame attentions run as ONE batched dot_general over the frame
+    axis (an unrolled python loop of f small (n, dh) matmuls is
+    dispatch-bound on the MXU)."""
     dh = q.shape[-1]
     _cls_row(q, k, v, o_ref, s, col0)
     k0 = k[0:1]
     v0 = v[0:1].astype(jnp.float32)
-    for i in range(f):
-        start = 1 + i * n
-        qf = q[start:start + n]
-        kf = k[start:start + n]
-        vf = v[start:start + n]
-        logits = jnp.dot(qf, kf.T, preferred_element_type=jnp.float32)   # (n, n)
-        cls_logit = jnp.dot(qf, k0.T, preferred_element_type=jnp.float32)  # (n, 1)
-        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
-        ep = jnp.exp(logits - m)
-        ec = jnp.exp(cls_logit - m)
-        denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
-        out = (jnp.dot(ep.astype(q.dtype), vf, preferred_element_type=jnp.float32)
-               + ec * v0) / denom
-        o_ref[s, start:start + n, col0:col0 + dh] = out.astype(o_ref.dtype)
+    qf = q[1:].reshape(f, n, dh)
+    kf = k[1:].reshape(f, n, dh)
+    vf = v[1:].reshape(f, n, dh)
+    batched = (((2,), (2,)), ((0,), (0,)))  # contract dh, batch over frames
+    logits = jax.lax.dot_general(qf, kf, batched,
+                                 preferred_element_type=jnp.float32)  # (f, n, n)
+    cls_logit = jnp.sum(qf * k0[None].astype(qf.dtype), axis=-1,
+                        keepdims=True, dtype=jnp.float32)             # (f, n, 1)
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+    ep = jnp.exp(logits - m)
+    ec = jnp.exp(cls_logit - m)
+    denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
+    pv = (((2,), (1,)), ((0,), (0,)))  # contract keys axis, batch over frames
+    out = (jax.lax.dot_general(ep.astype(q.dtype), vf, pv,
+                               preferred_element_type=jnp.float32)
+           + ec * v0[None]) / denom                                   # (f, n, dh)
+    o_ref[s, 1:, col0:col0 + dh] = out.reshape(f * n, dh).astype(o_ref.dtype)
+
+
+def _time_block_mxu(q, k, v, o_ref, col0: int, f: int, n: int, segs: int,
+                    group: int = 16):
+    """Time attention as masked 128-row MXU matmuls.
+
+    The f-frame groups that attend to each other share a spatial position p;
+    only f=8 tokens per group makes per-group matmuls dispatch-bound and the
+    elementwise (streaming) formulation VPU-bound. Instead, GROUP tokens of
+    ``group`` adjacent positions into one (f*group, dh) tile (frame-major row
+    order j*group+pl — taken directly with f static slices, NO transpose) and
+    run ONE (f*group, f*group) logits matmul per tile on the MXU, masking
+    cross-position entries with an iota grid mask (row%group == col%group).
+    The CLS key/value fold in as one extra softmax term, as everywhere else.
+
+    FLOP inflation vs the ideal block-diagonal is `group`x, but the MXU is
+    ~50-100x faster than the VPU at this shape, so it wins decisively
+    (measured ~3x vs the streaming formulation on v5e)."""
+    dh = q.shape[-1]
+    for s in range(segs):
+        _cls_row(q[s], k[s], v[s], o_ref, s, col0)
+    neg = jnp.float32(-1e30)
+
+    def grid_mask(rows_n: int, gw: int):
+        rr = jax.lax.broadcasted_iota(jnp.int32, (rows_n, rows_n), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (rows_n, rows_n), 1)
+        return (rr % gw) == (cc % gw)
+
+    masks = {}
+    for s in range(segs):
+        k0 = k[s, 0:1]
+        v0 = v[s, 0:1].astype(jnp.float32)
+        for g0 in range(0, n, group):
+            gw = min(group, n - g0)
+            if gw not in masks:
+                masks[gw] = grid_mask(f * gw, gw)
+            qg = jnp.concatenate(
+                [q[s, 1 + j * n + g0:1 + j * n + g0 + gw] for j in range(f)], 0)
+            kg = jnp.concatenate(
+                [k[s, 1 + j * n + g0:1 + j * n + g0 + gw] for j in range(f)], 0)
+            vg = jnp.concatenate(
+                [v[s, 1 + j * n + g0:1 + j * n + g0 + gw] for j in range(f)], 0)
+            logits = jnp.dot(qg, kg.T, preferred_element_type=jnp.float32)
+            logits = jnp.where(masks[gw], logits, neg)
+            cls_logit = jnp.sum(qg * k0, axis=-1, keepdims=True,
+                                dtype=jnp.float32)               # (f*gw, 1)
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+            ep = jnp.exp(logits - m)
+            ec = jnp.exp(cls_logit - m)
+            denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
+            out = (jnp.dot(ep.astype(q.dtype), vg,
+                           preferred_element_type=jnp.float32)
+                   + ec * v0) / denom                            # (f*gw, dh)
+            for j in range(f):
+                o_ref[s, 1 + j * n + g0:1 + j * n + g0 + gw, col0:col0 + dh] = (
+                    out[j * gw:(j + 1) * gw].astype(o_ref.dtype))
 
 
 def _time_block(q, k, v, o_ref, col0: int, f: int, n: int, segs: int):
@@ -118,7 +181,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, mode: str, num_frames: int,
                 _space_segment(q[s], k[s], v[s], o_ref, s, c0,
                                num_frames, n_tokens)
         else:
-            _time_block(q, k, v, o_ref, c0, num_frames, n_tokens, segs)
+            _time_block_mxu(q, k, v, o_ref, c0, num_frames, n_tokens, segs)
 
 
 def divided_attention_pallas(qkv: jnp.ndarray, num_heads: int, num_frames: int,

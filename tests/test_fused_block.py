@@ -89,7 +89,8 @@ def test_block_pallas_full_fusion_matches_xla(rng):
     variables = blk_x.init(jax.random.PRNGKey(0), x)
     golden = blk_x.apply(variables, x)
 
-    blk_p = DividedSpaceTimeBlock(num_heads=HEADS, num_frames=F, attn_impl="pallas")
+    blk_p = DividedSpaceTimeBlock(num_heads=HEADS, num_frames=F,
+                                  attn_impl="pallas_fused")
     with pltpu.force_tpu_interpret_mode():
         got = blk_p.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
