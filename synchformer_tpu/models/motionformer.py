@@ -246,7 +246,19 @@ class DividedSpaceTimeBlock(nn.Module):
         ln2_scale, ln2_bias = LNParams(d, name="norm2")()
         k1, b1, k2, b2 = MlpParams(d, int(d * self.mlp_ratio), name="mlp")()
         stochastic = not deterministic and (self.dropout > 0.0 or self.drop_path > 0.0)
-        if self.attn_impl == "pallas_fused" and not stochastic:
+        if self.attn_impl == "pallas" and not stochastic:
+            # row-chunked LN+fc1+GELU+fc2+residual: the (B*N, 4D) fc1
+            # intermediate (1.08 GB/layer at B*S=112 bf16) never reaches HBM,
+            # and the row-chunk grid keeps the GELU VPU work pipelined
+            # against the next chunk's matmul (the monolithic per-segment
+            # fused_block variant serialized them and measured slower)
+            from synchformer_tpu.ops.pallas.fused_rows import fused_ln_mlp_residual
+
+            x = fused_ln_mlp_residual(x, ln2_scale, ln2_bias,
+                                      k1.astype(self.dtype), b1.astype(self.dtype),
+                                      k2.astype(self.dtype), b2.astype(self.dtype),
+                                      self.ln_eps)
+        elif self.attn_impl == "pallas_fused" and not stochastic:
             # opt-in only: measured ~7% slower than the XLA composition on
             # v5e (XLA pipelines the GELU VPU work against the matmuls of
             # adjacent tiles; the monolithic kernel serializes them)

@@ -1,0 +1,191 @@
+"""Row-chunked fused prologue/epilogue kernels: LN+matmul and LN+MLP.
+
+The round-2 megakernels in fused_block.py fused LN+QKV+attention (and
+LN+MLP) into ONE program per segment; that measured SLOWER than the XLA
+composition on v5e because the monolithic per-segment body serializes the
+VPU work (LN stats, GELU) against the MXU matmuls — XLA wins by pipelining
+the elementwise epilogue of one tile against the matmul of the next.
+
+These kernels keep the fusion benefit (the LN output / fc1 intermediate
+never round-trips to HBM) but restore the pipelining: the token axis is
+FLATTENED (B*N rows — a free reshape) and the grid runs over row chunks
+with the weights resident in VMEM (constant index_map: Mosaic keeps them
+across programs). Chunk i+1's matmul has no data dependence on chunk i's
+VPU epilogue, so the hardware's independent MXU/VPU issue queues overlap
+them across grid steps.
+
+HBM traffic per layer (B*N=175728, D=768, hidden=3072, bf16):
+    unfused LN->fc1->gelu->fc2:  x 2x (LN r/w) + 1.08 GB fc1 out + 1.08 GB
+                                 fc2 in + 270 MB out  = ~3.8 GB
+    fused_ln_mlp_residual:       270 MB in + 270 MB out = 0.54 GB
+
+Numerics identical to the module path: shared layer_norm/dense/GELU
+helpers from fused_block.py (flax LN f32 stats, erf-GELU via the A&S
+rational approximation — |err| <= 1.5e-7, far below bf16 resolution).
+Backward (training) reuses the XLA-composed reference via jax.custom_vjp,
+exactly like fused_block.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from synchformer_tpu.ops.pallas.fused_block import (
+    _gelu_kernel_f32,
+    dense,
+    exact_gelu_f32,
+    layer_norm,
+)
+
+
+def _row_chunk(n_rows: int, target: int = 512) -> int:
+    """Largest multiple-of-8 divisor of n_rows that is <= target."""
+    best = 0
+    for r in range(8, min(target, n_rows) + 1, 8):
+        if n_rows % r == 0:
+            best = r
+    return best
+
+
+# ---------------------------------------------------------------------------
+# LN + matmul (the QKV projection prologue)
+# ---------------------------------------------------------------------------
+
+def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps):
+    dtype = x_ref.dtype
+    ln = layer_norm(x_ref[...], g_ref[0], b_ref[0], eps, dtype)
+    y = jnp.dot(ln, w_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = (y + bias_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _ln_matmul_pallas(x, g, b, w, bias, eps: float):
+    *lead, d = x.shape
+    dout = w.shape[1]
+    x2 = x.reshape(-1, d)
+    rows = _row_chunk(x2.shape[0])
+    if rows == 0:
+        return dense(layer_norm(x, g, b, eps, x.dtype), w, bias, x.dtype)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ln_matmul_kernel, eps=eps),
+        grid=(x2.shape[0] // rows,),
+        in_specs=[pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d), vec(d),
+                  pl.BlockSpec((d, dout), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(dout)],
+        out_specs=pl.BlockSpec((rows, dout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], dout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x2, g.reshape(1, d), b.reshape(1, d), w.astype(x.dtype),
+      bias.reshape(1, dout))
+    return out.reshape(*lead, dout)
+
+
+def _ln_matmul_ref(x, g, b, w, bias, eps: float):
+    return dense(layer_norm(x, g, b, eps, x.dtype), w.astype(x.dtype),
+                 bias, x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_ln_matmul(x, g, b, w, bias, eps: float = 1e-6):
+    """dense(LayerNorm(x)) with the normalized activations never leaving
+    VMEM. Row-chunked grid; weights resident across programs."""
+    return _ln_matmul_pallas(x, g, b, w, bias, eps)
+
+
+def _ln_matmul_fwd(x, g, b, w, bias, eps):
+    return _ln_matmul_pallas(x, g, b, w, bias, eps), (x, g, b, w, bias)
+
+
+def _ln_matmul_bwd(eps, res, grad):
+    _, vjp = jax.vjp(lambda *a: _ln_matmul_ref(*a, eps=eps), *res)
+    return vjp(grad)
+
+
+fused_ln_matmul.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LN + MLP + residual
+# ---------------------------------------------------------------------------
+
+def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   o_ref, *, eps):
+    dtype = x_ref.dtype
+    x = x_ref[...]
+    ln = layer_norm(x, g_ref[0], b_ref[0], eps, dtype)
+    h32 = jnp.dot(ln, w1_ref[...], preferred_element_type=jnp.float32)
+    h32 = h32 + b1_ref[0].astype(jnp.float32)
+    h = _gelu_kernel_f32(h32).astype(dtype)
+    y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32)
+    o_ref[...] = x + y.astype(dtype)
+
+
+def _ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps: float):
+    *lead, d = x.shape
+    hdim = w1.shape[1]
+    x2 = x.reshape(-1, d)
+    rows = _row_chunk(x2.shape[0])
+    if rows == 0:
+        return _ln_mlp_ref(x, g, b, w1, b1, w2, b2, eps)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps),
+        grid=(x2.shape[0] // rows,),
+        in_specs=[pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d), vec(d),
+                  pl.BlockSpec((d, hdim), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(hdim),
+                  pl.BlockSpec((hdim, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d)],
+        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x2, g.reshape(1, d), b.reshape(1, d), w1.astype(x.dtype),
+      b1.reshape(1, hdim), w2.astype(x.dtype), b2.reshape(1, d))
+    return out.reshape(x.shape)
+
+
+def _ln_mlp_ref(x, g, b, w1, b1, w2, b2, eps: float):
+    ln = layer_norm(x, g, b, eps, x.dtype)
+    h32 = dense(ln, w1, b1, x.dtype).astype(jnp.float32)
+    h = exact_gelu_f32(h32).astype(x.dtype)
+    return x + dense(h, w2, b2, x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ln_mlp_residual(x, g, b, w1, b1, w2, b2, eps: float = 1e-6):
+    """x + fc2(gelu(fc1(LN(x)))) — one HBM read + one write of x. Deterministic
+    path only (no dropout); callers gate on stochastic."""
+    return _ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps)
+
+
+def _ln_mlp_fwd(x, g, b, w1, b1, w2, b2, eps):
+    return (_ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps),
+            (x, g, b, w1, b1, w2, b2))
+
+
+def _ln_mlp_bwd(eps, res, grad):
+    _, vjp = jax.vjp(lambda *a: _ln_mlp_ref(*a, eps=eps), *res)
+    return vjp(grad)
+
+
+fused_ln_mlp_residual.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
