@@ -43,6 +43,7 @@ class CLSPoolEncoderLayer(nn.Module):
     pos_max_len: Optional[int] = None
     pos_emb_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"  # 'pallas' fuses the block's LN+MLP half in VMEM
 
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
@@ -61,7 +62,7 @@ class CLSPoolEncoderLayer(nn.Module):
         x = PreLNBlock(
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
             ln_eps=self.ln_eps, attn_dropout=self.dropout, resid_dropout=self.dropout,
-            dtype=self.dtype, name="block",
+            dtype=self.dtype, impl=self.impl, name="block",
         )(x, keep_mask=keep_mask, deterministic=deterministic)
         return x[:, 0, :]
 
@@ -73,6 +74,7 @@ class SpatialAggregator(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
@@ -80,7 +82,8 @@ class SpatialAggregator(nn.Module):
         flat = x.reshape(bs * t, h * w, d)
         mask = keep_mask.reshape(bs * t, h * w) if keep_mask is not None else None
         out = CLSPoolEncoderLayer(
-            num_heads=self.num_heads, dropout=self.dropout, dtype=self.dtype, name="cls_layer",
+            num_heads=self.num_heads, dropout=self.dropout, dtype=self.dtype,
+            impl=self.impl, name="cls_layer",
         )(flat, keep_mask=mask, deterministic=deterministic)
         return out.reshape(bs, t, d)
 
@@ -92,6 +95,7 @@ class FrequencyAggregator(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
@@ -100,7 +104,8 @@ class FrequencyAggregator(nn.Module):
         mask = (jnp.swapaxes(keep_mask, 1, 2).reshape(bs * t, f)
                 if keep_mask is not None else None)
         out = CLSPoolEncoderLayer(
-            num_heads=self.num_heads, dropout=self.dropout, dtype=self.dtype, name="cls_layer",
+            num_heads=self.num_heads, dropout=self.dropout, dtype=self.dtype,
+            impl=self.impl, name="cls_layer",
         )(flat, keep_mask=mask, deterministic=deterministic)
         return out.reshape(bs, t, d)
 
@@ -115,13 +120,14 @@ class TemporalAggregator(nn.Module):
     pos_max_len: Optional[int] = None
     pos_emb_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         return CLSPoolEncoderLayer(
             num_heads=self.num_heads, dropout=self.dropout, dtype=self.dtype,
             add_pos_emb=self.add_pos_emb, pos_max_len=self.pos_max_len,
-            pos_emb_drop=self.pos_emb_drop, name="cls_layer",
+            pos_emb_drop=self.pos_emb_drop, impl=self.impl, name="cls_layer",
         )(x, deterministic=deterministic)
 
 

@@ -71,6 +71,7 @@ class ASTEncoder(nn.Module):
     num_labels: int = 527  # AudioSet head (classification mode only)
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"  # 'pallas' fuses each block's LN+MLP half in VMEM
     # reference-config compatibility: checkpoint loading/conversion is handled
     # by synchformer_tpu.utils.checkpoint, not the module (ref: ast.py:49-58)
     ckpt_path: Optional[str] = None
@@ -122,6 +123,7 @@ class ASTEncoder(nn.Module):
         tokens = tokens + pos.astype(tokens.dtype)
         tokens = nn.Dropout(self.hidden_dropout)(tokens, deterministic=deterministic)
 
+        impl = "pallas" if self.attn_impl in ("pallas", "pallas_fused") else "xla"
         block_cls = PreLNBlock
         if self.remat:
             block_cls = nn.remat(PreLNBlock, static_argnums=(3,))
@@ -130,7 +132,7 @@ class ASTEncoder(nn.Module):
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
                 ln_eps=self.ln_eps, attn_dropout=self.attn_dropout,
                 resid_dropout=self.hidden_dropout, dtype=self.dtype,
-                name=f"layer_{i}",
+                impl=impl, name=f"layer_{i}",
             )(tokens, tok_keep, deterministic)
 
         tokens = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="layernorm")(tokens)
@@ -154,7 +156,7 @@ class ASTEncoder(nn.Module):
             if self.agg_freq_module == "TransformerEncoderLayer":
                 feats = FrequencyAggregator(
                     num_heads=self.num_heads, dropout=self.attn_dropout,
-                    dtype=self.dtype, name="freq_attn_agg",
+                    dtype=self.dtype, impl=impl, name="freq_attn_agg",
                 )(feats, keep_mask=feat_keep, deterministic=deterministic)
             elif self.agg_freq_module == "AveragePooling":
                 feats = AveragePooling(avg_pattern="bs f t d -> bs t d",
@@ -162,7 +164,7 @@ class ASTEncoder(nn.Module):
             if self.agg_time_module == "TransformerEncoderLayer":
                 feats = TemporalAggregator(
                     num_heads=self.num_heads, dropout=self.attn_dropout,
-                    dtype=self.dtype, name="temp_attn_agg",
+                    dtype=self.dtype, impl=impl, name="temp_attn_agg",
                 )(feats, deterministic=deterministic)
             elif self.agg_time_module == "AveragePooling":
                 feats = AveragePooling(avg_pattern="bs t d -> bs d",
@@ -180,7 +182,7 @@ class ASTEncoder(nn.Module):
                 num_heads=self.num_heads, dropout=self.attn_dropout,
                 add_pos_emb=True, pos_max_len=pos_max_len,
                 pos_emb_drop=self.hidden_dropout, dtype=self.dtype,
-                name="global_attn_agg",
+                impl=impl, name="global_attn_agg",
             )(feats, deterministic=deterministic)
 
         return feats, global_feats

@@ -59,6 +59,20 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class MlpParams(nn.Module):
+    """fc1/fc2 parameters with the exact tree of the Mlp module (for feeding
+    the fused LN+MLP pallas kernel or the manual fallback)."""
+
+    features: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = DenseParams(self.features, self.hidden, name="fc1")()
+        k2, b2 = DenseParams(self.hidden, self.features, name="fc2")()
+        return k1, b1, k2, b2
+
+
 def attention_bias_from_keep_mask(keep: Optional[jnp.ndarray], dtype) -> Optional[jnp.ndarray]:
     """keep: (..., N) bool/int, 1 = attend-to. Returns (..., 1, 1, N) additive bias."""
     if keep is None:
@@ -180,6 +194,7 @@ class PreLNBlock(nn.Module):
     resid_dropout: float = 0.0
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
+    impl: str = "xla"  # 'pallas' fuses the LN+MLP half in VMEM (fwd path)
 
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
@@ -191,10 +206,26 @@ class PreLNBlock(nn.Module):
         )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln1")(x),
           keep_mask=keep_mask, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
-        mlp_out = Mlp(
-            hidden_dim=int(d * self.mlp_ratio), dropout=self.resid_dropout,
-            dtype=self.dtype, name="mlp",
-        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x),
-          deterministic=deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
+        stochastic = not deterministic and (self.resid_dropout > 0.0
+                                            or self.drop_path > 0.0)
+        if self.impl == "pallas" and not stochastic:
+            # LN2+fc1+GELU+fc2+residual in one row-chunked kernel: the
+            # (rows, 4D) fc1 intermediate never reaches HBM (see
+            # ops/pallas/fused_rows.py). Identical param tree to the
+            # nn.LayerNorm + Mlp branch below.
+            from synchformer_tpu.ops.pallas.fused_rows import fused_ln_mlp_residual
+
+            ln2_scale, ln2_bias = LNParams(d, name="ln2")()
+            k1, b1, k2, b2 = MlpParams(d, int(d * self.mlp_ratio), name="mlp")()
+            x = fused_ln_mlp_residual(
+                x, ln2_scale, ln2_bias, k1.astype(self.dtype),
+                b1.astype(self.dtype), k2.astype(self.dtype),
+                b2.astype(self.dtype), self.ln_eps)
+        else:
+            mlp_out = Mlp(
+                hidden_dim=int(d * self.mlp_ratio), dropout=self.resid_dropout,
+                dtype=self.dtype, name="mlp",
+            )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x),
+              deterministic=deterministic)
+            x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
         return x

@@ -40,6 +40,7 @@ from synchformer_tpu.models.layers import (
     DenseParams,
     DropPath,
     LNParams,
+    MlpParams,
     exact_gelu,
 )
 from synchformer_tpu.ops.pallas.fused_block import dense, layer_norm
@@ -47,19 +48,6 @@ from synchformer_tpu.registry import register
 
 _WARNED_PALLAS_MASK_FALLBACK = False
 
-
-class MlpParams(nn.Module):
-    """fc1/fc2 parameters with the exact tree of the Mlp module (for feeding
-    the fused LN+MLP pallas kernel or the manual fallback)."""
-
-    features: int
-    hidden: int
-
-    @nn.compact
-    def __call__(self):
-        k1, b1 = DenseParams(self.features, self.hidden, name="fc1")()
-        k2, b2 = DenseParams(self.hidden, self.features, name="fc2")()
-        return k1, b1, k2, b2
 
 trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
@@ -420,11 +408,13 @@ class MotionFormerEncoder(nn.Module):
         if tok_keep is not None:
             feat_keep = tok_keep[:, 1:].reshape(b * s, f, gh, gw)
 
+        agg_impl = ("pallas" if self.attn_impl in ("pallas", "pallas_fused")
+                    else "xla")
         if self.factorize_space_time:
             if self.agg_space_module == "TransformerEncoderLayer":
                 feats = SpatialAggregator(
                     num_heads=self.num_heads, dropout=self.drop_rate,
-                    dtype=self.dtype, name="spatial_attn_agg",
+                    dtype=self.dtype, impl=agg_impl, name="spatial_attn_agg",
                 )(feats, keep_mask=feat_keep, deterministic=deterministic)
             elif self.agg_space_module == "AveragePooling":
                 feats = AveragePooling(avg_pattern="bs t h w d -> bs t d",
@@ -432,7 +422,7 @@ class MotionFormerEncoder(nn.Module):
             if self.agg_time_module == "TransformerEncoderLayer":
                 feats = TemporalAggregator(
                     num_heads=self.num_heads, dropout=self.drop_rate,
-                    dtype=self.dtype, name="temp_attn_agg",
+                    dtype=self.dtype, impl=agg_impl, name="temp_attn_agg",
                 )(feats, deterministic=deterministic)
             elif self.agg_time_module == "AveragePooling":
                 feats = AveragePooling(avg_pattern="bs t d -> bs d",
@@ -449,7 +439,7 @@ class MotionFormerEncoder(nn.Module):
                 num_heads=self.num_heads, dropout=self.drop_rate,
                 add_pos_emb=True, pos_max_len=pos_max_len,
                 pos_emb_drop=self.pos_dropout, dtype=self.dtype,
-                name="global_attn_agg",
+                impl=agg_impl, name="global_attn_agg",
             )(feats, deterministic=deterministic)
 
         return feats, global_feats

@@ -19,8 +19,9 @@ N_OFFSET_CLS = 21
 
 def ast_cfg(dtype=jnp.float32, agg_time_module: str = "Identity",
             add_global_repr: bool = False, max_segments: Optional[int] = None,
-            remat: bool = False) -> dict:
-    """AST tower config (ref: configs/sync.yaml:6-17)."""
+            remat: bool = False, attn_impl: str = "xla") -> dict:
+    """AST tower config (ref: configs/sync.yaml:6-17). attn_impl='pallas'
+    fuses each block's LN+MLP half in VMEM (fwd path)."""
     return dict(
         target="synchformer_tpu.models.ast_encoder.ASTEncoder",
         params=dict(
@@ -28,7 +29,7 @@ def ast_cfg(dtype=jnp.float32, agg_time_module: str = "Identity",
             agg_freq_module="TransformerEncoderLayer",
             agg_time_module=agg_time_module,
             add_global_repr=add_global_repr, max_segments=max_segments,
-            remat=remat, dtype=dtype,
+            remat=remat, dtype=dtype, attn_impl=attn_impl,
         ),
     )
 
@@ -93,7 +94,7 @@ def build_synchformer(n_segments: int = 14, syncability: bool = False,
     if attn_impl is None:
         attn_impl = default_attn_impl()
     return Synchformer(
-        afeat_extractor=ast_cfg(dtype=dtype, remat=remat),
+        afeat_extractor=ast_cfg(dtype=dtype, remat=remat, attn_impl=attn_impl),
         vfeat_extractor=motionformer_cfg(dtype=dtype, remat=remat,
                                          attn_impl=attn_impl),
         aproj=linear_proj_cfg(dtype=dtype),
@@ -115,7 +116,8 @@ def build_avclip(n_segments_train: int = 14, dtype=jnp.float32,
     return AVCLIP(
         n_embd=D,
         afeat_extractor=ast_cfg(dtype=dtype, agg_time_module="AveragePooling",
-                                max_segments=n_segments_train, remat=remat),
+                                max_segments=n_segments_train, remat=remat,
+                                attn_impl=attn_impl),
         vfeat_extractor=motionformer_cfg(dtype=dtype, agg_time_module="AveragePooling",
                                          max_segments=n_segments_train, remat=remat,
                                          attn_impl=attn_impl),
