@@ -84,7 +84,34 @@ class DividedAttention(nn.Module):
         """ln: optional (scale, bias) of the block's pre-attention LayerNorm.
         When given, x is the RAW block input and the normalization happens
         here — fused into the pallas megakernel on the pallas path, manual
-        (identical numerics to nn.LayerNorm) otherwise."""
+        (identical numerics to nn.LayerNorm) otherwise.
+
+        x may also be a (cls (B,1,D), patches (B,f,n,D)) TUPLE — the split
+        layout that keeps the pallas kernels free of misaligned frame-slab
+        relayouts (the tower drops CLS at the end, so nothing ever needs the
+        concatenated sequence). Tuple in -> tuple out. Pallas-only path;
+        callers fall back to the packed layout for keep-masks/XLA."""
+        if isinstance(x, tuple):
+            x_cls, x_patch = x
+            b, f, n, d = x_patch.shape
+            h = self.num_heads
+            assert self.attn_impl in ("pallas", "pallas_fused") and keep_mask is None
+            from synchformer_tpu.ops.pallas.divided_attention_bwd import (
+                divided_attention_split,
+            )
+
+            qkv_kernel, qkv_bias = DenseParams(d, 3 * d, name="qkv")()
+            if ln is not None:
+                x_cls = layer_norm(x_cls, ln[0], ln[1], self.ln_eps, self.dtype)
+                x_patch = layer_norm(x_patch, ln[0], ln[1], self.ln_eps, self.dtype)
+            qkv_c = dense(x_cls, qkv_kernel, qkv_bias, self.dtype)
+            qkv_p = dense(x_patch, qkv_kernel, qkv_bias, self.dtype)
+            out_p, out_c = divided_attention_split(qkv_p, qkv_c, h, mode)
+            proj = nn.Dense(d, dtype=self.dtype, name="proj")
+            drop = nn.Dropout(self.proj_dropout)
+            return (drop(proj(out_c), deterministic=deterministic),
+                    drop(proj(out_p), deterministic=deterministic))
+
         b, seq, d = x.shape
         h = self.num_heads
         dh = d // h
@@ -207,9 +234,23 @@ class DividedSpaceTimeBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
 
+    def _drop_path_pair(self, pair, deterministic):
+        """DropPath with ONE per-sample draw shared by both halves of the
+        (cls, patches) split (the reference drops the whole residual branch
+        per sample)."""
+        if self.drop_path == 0.0 or deterministic:
+            return pair
+        rng = self.make_rng("droppath")
+        keep = jax.random.bernoulli(rng, 1.0 - self.drop_path,
+                                    (pair[0].shape[0],))
+        scale = (keep / (1.0 - self.drop_path)).astype(pair[0].dtype)
+        return (pair[0] * scale[:, None, None],
+                pair[1] * scale[:, None, None, None])
+
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
-        d = x.shape[-1]
+        split = isinstance(x, tuple)
+        d = (x[1] if split else x).shape[-1]
         # LN params are declared here (same tree as nn.LayerNorm) and handed
         # to the attention, which fuses the normalization into its kernel on
         # the pallas path
@@ -219,7 +260,8 @@ class DividedSpaceTimeBlock(nn.Module):
             attn_impl=self.attn_impl, ln_eps=self.ln_eps, name="timeattn",
         )(x, num_frames=self.num_frames, mode="time", keep_mask=keep_mask,
           deterministic=deterministic, ln=ln3)
-        x = x + t_out  # reference adds the time output without drop-path
+        # reference adds the time output without drop-path
+        x = ((x[0] + t_out[0], x[1] + t_out[1]) if split else x + t_out)
 
         ln1 = LNParams(d, name="norm1")()
         s_out = DividedAttention(
@@ -227,13 +269,48 @@ class DividedSpaceTimeBlock(nn.Module):
             attn_impl=self.attn_impl, ln_eps=self.ln_eps, name="attn",
         )(x, num_frames=self.num_frames, mode="space", keep_mask=keep_mask,
           deterministic=deterministic, ln=ln1)
-        x = x + DropPath(self.drop_path, name="drop_path_s")(s_out, deterministic)
+        if split:
+            s_out = self._drop_path_pair(s_out, deterministic)
+            x = (x[0] + s_out[0], x[1] + s_out[1])
+        else:
+            x = x + DropPath(self.drop_path, name="drop_path_s")(s_out, deterministic)
 
         # MLP: LN -> fc1 -> exact GELU -> fc2 (-> dropout/drop-path) with the
         # residual. One pallas kernel when the stochastic pieces are inactive.
         ln2_scale, ln2_bias = LNParams(d, name="norm2")()
         k1, b1, k2, b2 = MlpParams(d, int(d * self.mlp_ratio), name="mlp")()
         stochastic = not deterministic and (self.dropout > 0.0 or self.drop_path > 0.0)
+        if split:
+            cls, patch = x
+            if not stochastic:
+                from synchformer_tpu.ops.pallas.fused_rows import (
+                    _ln_mlp_ref,
+                    fused_ln_mlp_residual,
+                )
+
+                patch = fused_ln_mlp_residual(
+                    patch, ln2_scale, ln2_bias,
+                    k1.astype(self.dtype), b1.astype(self.dtype),
+                    k2.astype(self.dtype), b2.astype(self.dtype), self.ln_eps)
+                # the CLS row is (B, 1, D) — the XLA composition is cheaper
+                # than spinning up a kernel for it
+                cls = _ln_mlp_ref(cls, ln2_scale, ln2_bias,
+                                  k1.astype(self.dtype), b1.astype(self.dtype),
+                                  k2.astype(self.dtype), b2.astype(self.dtype),
+                                  self.ln_eps)
+                return (cls, patch)
+
+            def mlp_part(t):
+                hh = dense(layer_norm(t, ln2_scale, ln2_bias, self.ln_eps,
+                                      self.dtype), k1, b1, self.dtype)
+                hh = nn.Dropout(self.dropout)(exact_gelu(hh),
+                                              deterministic=deterministic)
+                return nn.Dropout(self.dropout)(dense(hh, k2, b2, self.dtype),
+                                                deterministic=deterministic)
+
+            m = self._drop_path_pair((mlp_part(cls), mlp_part(patch)),
+                                     deterministic)
+            return (cls + m[0], patch + m[1])
         if self.attn_impl == "pallas" and not stochastic:
             # row-chunked LN+fc1+GELU+fc2+residual: the (B*N, 4D) fc1
             # intermediate (1.08 GB/layer at B*S=112 bf16) never reaches HBM,
@@ -352,6 +429,46 @@ class MotionFormerEncoder(nn.Module):
                 [jnp.ones((b * s, 1), bool), tok_keep], axis=1)
 
         cls = self.param("cls_token", trunc02, (1, 1, d))
+        # split (cls, patches) flow: the pallas kernels take patches as
+        # (BS, f, n, 3D) 4D blocks — the DMA pads the n=196 slabs to sublane
+        # boundaries, removing the misaligned in-kernel reshape relayouts
+        # (space 12.1 -> 8.4 ms/layer measured). The tower drops CLS at the
+        # end, so the two parts never need concatenating.
+        dh = d // self.num_heads
+        hpg = max(1, 128 // dh)
+        groupable = self.num_heads % hpg == 0 and (dh * hpg) % 128 == 0
+        use_split = (self.attn_layer != "joint"
+                     and self.attn_impl in ("pallas", "pallas_fused")
+                     and tok_keep is None and groupable)
+        if use_split:
+            pos_spatial = self.param("pos_embed", trunc02, (1, n_spatial + 1, d))
+            pos_temporal = self.param("temp_embed", nn.initializers.zeros,
+                                      (1, self.temporal_resolution, d))
+            patch_pos = (pos_spatial[:, None, 1:]
+                         + pos_temporal[:, :, None]).astype(tokens.dtype)
+            patches = tokens.reshape(b * s, f, n_spatial, d) + patch_pos
+            cls_tok = (jnp.broadcast_to(cls.astype(tokens.dtype), (b * s, 1, d))
+                       + pos_spatial[:, :1].astype(tokens.dtype))
+            drop = nn.Dropout(self.pos_dropout)
+            xsplit = (drop(cls_tok, deterministic=deterministic),
+                      drop(patches, deterministic=deterministic))
+
+            dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
+            block_cls = DividedSpaceTimeBlock
+            if self.remat:
+                block_cls = nn.remat(DividedSpaceTimeBlock, static_argnums=(3,))
+            for i in range(self.depth):
+                xsplit = block_cls(
+                    num_heads=self.num_heads, num_frames=f, mlp_ratio=self.mlp_ratio,
+                    dropout=self.drop_rate, drop_path=float(dpr[i]), ln_eps=self.ln_eps,
+                    dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
+                )(xsplit, None, deterministic)
+
+            feats = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                                 name="norm")(xsplit[1])
+            feats = feats.reshape(b * s, f, gh, gw, d)
+            return self._aggregate(feats, None, b, s, deterministic)
+
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(tokens.dtype), (b * s, 1, d)), tokens], axis=1)
 
@@ -407,7 +524,12 @@ class MotionFormerEncoder(nn.Module):
         feat_keep = None
         if tok_keep is not None:
             feat_keep = tok_keep[:, 1:].reshape(b * s, f, gh, gw)
+        return self._aggregate(feats, feat_keep, b, s, deterministic)
 
+    def _aggregate(self, feats, feat_keep, b, s, deterministic):
+        """Factorized space/time aggregation tail (shared by the packed and
+        split token flows). Submodules created here live inside the compact
+        __call__ context."""
         agg_impl = ("pallas" if self.attn_impl in ("pallas", "pallas_fused")
                     else "xla")
         if self.factorize_space_time:

@@ -184,6 +184,281 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, mode: str, num_frames: int,
             _time_block_mxu(q, k, v, o_ref, c0, num_frames, n_tokens, segs)
 
 
+# ---------------------------------------------------------------------------
+# v3: full-width contiguous blocks + lane-masked head pairs
+# ---------------------------------------------------------------------------
+#
+# Ablating the v1 kernels on a v5e (space mode, B*S=112: base 15.2 ms,
+# no-softmax 11.8, no-matmuls 9.5, no-cls-row 12.7) showed the cost is NOT
+# the attention math but data movement: the column-sliced BlockSpecs are
+# strided 256-byte-chunk DMAs, every per-head 64-lane slice relayouts its
+# operand, and the CLS row's explicit k.T materializes a transpose. v3:
+#
+# - ONE full-width block (segs, seq, 3D) per program: perfectly contiguous
+#   DMA (the grid covers only segments).
+# - heads are processed in PAIRS: in the packed [q|k|v] layout with D=768,
+#   every pair slice q[:, 128p:128p+128], k[:, 768+128p:...], v[...] starts
+#   at a lane multiple of 128 — no relayouts, NO column permutation needed.
+#   Inside a pair the two heads are separated by LANE MASKING: the logits
+#   matmul contracts all 128 lanes with the other head's lanes zeroed on
+#   the Q side (zeros kill the cross terms), and the PV matmul zeroes the
+#   V side so both heads' outputs land packed in their own 64-lane halves
+#   of one (rows, 128) result — which IS the standard head-major output
+#   order, so the out-projection consumes it unchanged.
+# - no jnp.dot(..., k.T): all contractions are dot_generals on the minor
+#   dim, so Mosaic never materializes a transposed copy.
+# - time mode reuses the space mode's one-per-segment (f, n, W) reshape and
+#   slices ALIGNED 16-position groups out of it (16 % 8 == 0), instead of
+#   gathering 8 misaligned 16-row strips per group.
+
+
+def _lane_masks_v3(width: int, head_dim: int, dtype):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    return [(lanes // head_dim == i).astype(dtype)
+            for i in range(width // head_dim)]
+
+
+_NT = (((1,), (1,)), ((), ()))          # (a, K) x (b, K) -> (a, b)
+_QK3 = (((2,), (2,)), ((0,), (0,)))     # batch dim 0, contract minor
+_PV3 = (((2,), (1,)), ((0,), (0,)))     # batch dim 0, contract rhs rows
+
+
+def _cls_row_v3(q, k, v, masks):
+    """CLS query (1, W) over all keys (seq, W), lane-masked heads, no
+    transposes. Returns (1, W) packed output."""
+    out = jnp.zeros((1, q.shape[-1]), jnp.float32)
+    for qm in masks:
+        logits = jax.lax.dot_general(q * qm, k, _NT,
+                                     preferred_element_type=jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+        out = out + jnp.dot(probs, v * qm.astype(v.dtype),
+                            preferred_element_type=jnp.float32)
+    return out
+
+
+def _space_pair_v3(qf, kf, vf, k0, v0, masks, dtype):
+    """(f, n, W) frame-batched space attention with the CLS k/v folded in.
+    Returns (f, n, W) packed f32."""
+    out = jnp.zeros(qf.shape, jnp.float32)
+    for qm in masks:
+        qfm = qf * qm[None]
+        logits = jax.lax.dot_general(qfm, kf, _QK3,
+                                     preferred_element_type=jnp.float32)
+        cls_logit = jnp.sum(qfm * k0[None].astype(qf.dtype), axis=-1,
+                            keepdims=True, dtype=jnp.float32)       # (f, n, 1)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+        ep = jnp.exp(logits - m)
+        ec = jnp.exp(cls_logit - m)
+        denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
+        vfm = vf * qm[None].astype(vf.dtype)
+        v0m = (v0 * qm.astype(v0.dtype))[None].astype(jnp.float32)
+        out = out + (jax.lax.dot_general(ep.astype(dtype), vfm, _PV3,
+                                         preferred_element_type=jnp.float32)
+                     + ec * v0m) / denom
+    return out
+
+
+def _time_pair_v3(qf, kf, vf, k0, v0, masks, dtype, group: int = 16):
+    """(f, n, W) -> (f, n, W) per-position attention via grouped masked MXU
+    matmuls over ALIGNED 16-position slices of the frame-major reshape."""
+    f, n, w = qf.shape
+    neg = jnp.float32(-1e30)
+    gmasks = {}
+    outs = []
+    for g0 in range(0, n, group):
+        gw = min(group, n - g0)
+        rows_n = f * gw
+        if gw not in gmasks:
+            rr = jax.lax.broadcasted_iota(jnp.int32, (rows_n, rows_n), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (rows_n, rows_n), 1)
+            gmasks[gw] = (rr % gw) == (cc % gw)
+        qg = qf[:, g0:g0 + gw].reshape(rows_n, w)
+        kg = kf[:, g0:g0 + gw].reshape(rows_n, w)
+        vg = vf[:, g0:g0 + gw].reshape(rows_n, w)
+        out = jnp.zeros((rows_n, w), jnp.float32)
+        for qm in masks:
+            qgm = qg * qm
+            logits = jax.lax.dot_general(qgm, kg, _NT,
+                                         preferred_element_type=jnp.float32)
+            logits = jnp.where(gmasks[gw], logits, neg)
+            cls_logit = jnp.sum(qgm * k0, axis=-1, keepdims=True,
+                                dtype=jnp.float32)
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+            ep = jnp.exp(logits - m)
+            ec = jnp.exp(cls_logit - m)
+            denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
+            vgm = vg * qm.astype(vg.dtype)
+            v0m = (v0 * qm.astype(v0.dtype)).astype(jnp.float32)
+            out = out + (jnp.dot(ep.astype(dtype), vgm,
+                                 preferred_element_type=jnp.float32)
+                         + ec * v0m) / denom
+        outs.append(out.reshape(f, gw, w))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _kernel_v3(x_ref, o_ref, *, mode: str, num_frames: int, n_tokens: int,
+               head_dim: int, width: int, segs: int, d: int):
+    f, n, w = num_frames, n_tokens, width
+    n_pairs = d // w
+    scale = jnp.asarray(head_dim ** -0.5, x_ref.dtype)
+    masks = _lane_masks_v3(w, head_dim, x_ref.dtype)
+    for s in range(segs):
+        for p in range(n_pairs):
+            q = x_ref[s, :, p * w:(p + 1) * w] * scale
+            k = x_ref[s, :, d + p * w:d + (p + 1) * w]
+            v = x_ref[s, :, 2 * d + p * w:2 * d + (p + 1) * w]
+            o_ref[s, 0:1, p * w:(p + 1) * w] = _cls_row_v3(
+                q[0:1], k, v, masks).astype(o_ref.dtype)
+            qf = q[1:].reshape(f, n, w)
+            kf = k[1:].reshape(f, n, w)
+            vf = v[1:].reshape(f, n, w)
+            if mode == "space":
+                out = _space_pair_v3(qf, kf, vf, k[0:1], v[0:1], masks,
+                                     x_ref.dtype)
+            else:
+                out = _time_pair_v3(qf, kf, vf, k[0:1], v[0:1], masks,
+                                    x_ref.dtype)
+            o_ref[s, 1:, p * w:(p + 1) * w] = out.reshape(
+                f * n, w).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# 4D (split cls/patches) layout — the fastest path
+# ---------------------------------------------------------------------------
+#
+# The remaining v3 floor is the in-kernel [1:].reshape(f, n, W): with
+# n = 196 not a multiple of 8, every frame slab relayouts on the VPU. When
+# the caller keeps patches as (B, f, n, 3D) (the tower drops the CLS token
+# at the end anyway, so the whole block stack can carry (cls, patches)
+# split), the DMA engine pads each n-slab to sublane boundaries for free
+# and every in-kernel slice is aligned: space 12.1 -> 8.4 ms, time
+# 10.8 -> 8.1 ms per layer-call at B*S=112 on v5e.
+
+
+def _cls_row_4d(qc, kc, vc, kf, vf, masks):
+    """CLS query over [cls; all patches]. qc/kc/vc: (1, W); kf/vf: (f, n, W).
+    Returns (1, W) packed f32."""
+    f, n, w = kf.shape
+    out = jnp.zeros((1, w), jnp.float32)
+    for qm in masks:
+        qcm = qc * qm
+        lc = jnp.sum(qcm * kc, axis=-1, keepdims=True, dtype=jnp.float32)
+        lps = [jax.lax.dot_general(qcm, kf[j], _NT,
+                                   preferred_element_type=jnp.float32)
+               for j in range(f)]  # (1, n) each
+        m = lc
+        for lp in lps:
+            m = jnp.maximum(m, jnp.max(lp, axis=-1, keepdims=True))
+        ec = jnp.exp(lc - m)
+        denom = ec
+        eps = []
+        for lp in lps:
+            e = jnp.exp(lp - m)
+            eps.append(e)
+            denom = denom + jnp.sum(e, axis=-1, keepdims=True)
+        vm = qm.astype(vf.dtype)
+        acc = ec * (vc * qm.astype(vc.dtype)).astype(jnp.float32)
+        for j in range(f):
+            acc = acc + jnp.dot(eps[j].astype(qc.dtype), vf[j] * vm,
+                                preferred_element_type=jnp.float32)
+        out = out + acc / denom
+    return out
+
+
+def _kernel_4d(xp_ref, xc_ref, op_ref, oc_ref, *, mode: str, head_dim: int,
+               width: int, segs: int, d: int):
+    n_pairs = d // width
+    scale = jnp.asarray(head_dim ** -0.5, xp_ref.dtype)
+    masks = _lane_masks_v3(width, head_dim, xp_ref.dtype)
+    w = width
+    for s in range(segs):
+        for p in range(n_pairs):
+            qf = xp_ref[s, :, :, p * w:(p + 1) * w] * scale
+            kf = xp_ref[s, :, :, d + p * w:d + (p + 1) * w]
+            vf = xp_ref[s, :, :, 2 * d + p * w:2 * d + (p + 1) * w]
+            qc = xc_ref[s, :, p * w:(p + 1) * w] * scale
+            kc = xc_ref[s, :, d + p * w:d + (p + 1) * w]
+            vc = xc_ref[s, :, 2 * d + p * w:2 * d + (p + 1) * w]
+            oc_ref[s, :, p * w:(p + 1) * w] = _cls_row_4d(
+                qc, kc, vc, kf, vf, masks).astype(oc_ref.dtype)
+            if mode == "space":
+                out = _space_pair_v3(qf, kf, vf, kc, vc, masks, xp_ref.dtype)
+            else:
+                out = _time_pair_v3(qf, kf, vf, kc, vc, masks, xp_ref.dtype)
+            op_ref[s, :, :, p * w:(p + 1) * w] = out.astype(op_ref.dtype)
+
+
+def divided_attention_pallas_4d(qkv_patches: jnp.ndarray, qkv_cls: jnp.ndarray,
+                                num_heads: int, mode: str,
+                                segs_per_block: int = 2):
+    """Split-layout divided attention. qkv_patches: (B, f, n, 3D) frame-major
+    patch tokens; qkv_cls: (B, 1, 3D). Returns (patches_out (B, f, n, D),
+    cls_out (B, 1, D)) in standard head-major feature order."""
+    b, f, n, threed = qkv_patches.shape
+    d = threed // 3
+    dh = d // num_heads
+    hpg = max(1, 128 // dh)
+    width = hpg * dh
+    assert num_heads % hpg == 0 and width % 128 == 0, "use the packed kernel"
+    while segs_per_block > 1 and b % segs_per_block != 0:
+        segs_per_block //= 2
+    kernel = functools.partial(_kernel_4d, mode=mode, head_dim=dh,
+                               width=width, segs=segs_per_block, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // segs_per_block,),
+        in_specs=[pl.BlockSpec((segs_per_block, f, n, threed),
+                               lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((segs_per_block, 1, threed),
+                               lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((segs_per_block, f, n, d),
+                                lambda bi: (bi, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((segs_per_block, 1, d),
+                                lambda bi: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, f, n, d), qkv_patches.dtype),
+                   jax.ShapeDtypeStruct((b, 1, d), qkv_patches.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv_patches, qkv_cls)
+
+
+def _divided_attention_pallas_v3(qkv, num_heads: int, num_frames: int,
+                                 mode: str, segs_per_block: int = 2):
+    b, seq, threed = qkv.shape
+    d = threed // 3
+    dh = d // num_heads
+    f = num_frames
+    n = (seq - 1) // f
+    hpg = max(1, 128 // dh)
+    width = hpg * dh
+    while segs_per_block > 1 and b % segs_per_block != 0:
+        segs_per_block //= 2
+    kernel = functools.partial(_kernel_v3, mode=mode, num_frames=f,
+                               n_tokens=n, head_dim=dh, width=width,
+                               segs=segs_per_block, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // segs_per_block,),
+        in_specs=[pl.BlockSpec((segs_per_block, seq, threed),
+                               lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((segs_per_block, seq, d),
+                               lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, seq, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv)
+
+
 def divided_attention_pallas(qkv: jnp.ndarray, num_heads: int, num_frames: int,
                              mode: str, segs_per_block: int = 4) -> jnp.ndarray:
     """qkv: (B, N, 3*D) packed [q|k|v] from one Dense matmul, tokens ordered
@@ -198,6 +473,9 @@ def divided_attention_pallas(qkv: jnp.ndarray, num_heads: int, num_frames: int,
 
     # block width must be a multiple of 128 lanes (or the full D)
     hpb = max(1, 128 // dh)
+    if num_heads % hpb == 0 and (dh * hpb) % 128 == 0:
+        # v3: contiguous full-width blocks, lane-masked head pairs
+        return _divided_attention_pallas_v3(qkv, num_heads, num_frames, mode)
     if num_heads % hpb != 0 or (dh * hpb) % 128 != 0:
         hpb = num_heads  # full-D blocks (small models / tests)
     n_blocks = num_heads // hpb

@@ -246,6 +246,43 @@ def divided_attention(qkv, num_heads: int, num_frames: int, mode: str):
     return divided_attention_pallas(qkv, num_heads, num_frames, mode)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def divided_attention_split(qkv_patches, qkv_cls, num_heads: int, mode: str):
+    """Differentiable split-layout divided attention (the fastest forward):
+    qkv_patches (B, f, n, 3D) + qkv_cls (B, 1, 3D) -> (patches (B, f, n, D),
+    cls (B, 1, D)). Backward converts to the packed layout and reuses the
+    verified v1 backward kernels (the conversion copies only run when
+    gradients actually flow — frozen towers never pay it)."""
+    from synchformer_tpu.ops.pallas.divided_attention import (
+        divided_attention_pallas_4d,
+    )
+
+    return divided_attention_pallas_4d(qkv_patches, qkv_cls, num_heads, mode)
+
+
+def _fwd_split(qkv_patches, qkv_cls, num_heads, mode):
+    from synchformer_tpu.ops.pallas.divided_attention import (
+        divided_attention_pallas_4d,
+    )
+
+    out = divided_attention_pallas_4d(qkv_patches, qkv_cls, num_heads, mode)
+    return out, (qkv_patches, qkv_cls)
+
+
+def _bwd_split(num_heads, mode, res, g):
+    qkv_p, qkv_c = res
+    gp, gc = g
+    b, f, n, threed = qkv_p.shape
+    d = threed // 3
+    qkv = jnp.concatenate([qkv_c, qkv_p.reshape(b, f * n, threed)], axis=1)
+    dout = jnp.concatenate([gc, gp.reshape(b, f * n, d)], axis=1)
+    dqkv = _divided_attention_bwd_pallas(qkv, dout, num_heads, f, mode)
+    return dqkv[:, 1:].reshape(b, f, n, threed), dqkv[:, :1]
+
+
+divided_attention_split.defvjp(_fwd_split, _bwd_split)
+
+
 def _fwd(qkv, num_heads, num_frames, mode):
     return divided_attention_pallas(qkv, num_heads, num_frames, mode), qkv
 

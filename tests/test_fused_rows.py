@@ -125,3 +125,61 @@ def test_slab_vjp_matches_v1_vjp(rng):
         g1 = jax.grad(loss_v1)(slabs)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_motionformer_split_flow_matches_xla(rng):
+    """The (cls, patches) split token flow (pallas 4D kernels, fused MLP)
+    must equal the packed XLA flow on identical params — full tiny tower."""
+    from synchformer_tpu.models.motionformer import MotionFormerEncoder
+
+    params_cfg = dict(embed_dim=256, depth=2, num_heads=4, patch_size=8,
+                      z_block_size=2, temporal_resolution=2, img_size=32,
+                      factorize_space_time=True,
+                      agg_space_module="TransformerEncoderLayer",
+                      agg_time_module="Identity", dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 32, 32, 3)).astype(np.float32))
+
+    mx = MotionFormerEncoder(**params_cfg, attn_impl="xla")
+    variables = mx.init(jax.random.PRNGKey(0), x)
+    ref, _ = mx.apply(variables, x)
+
+    mp = MotionFormerEncoder(**params_cfg, attn_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = mp.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_motionformer_split_flow_grad_matches_xla(rng):
+    """Gradients through the split flow (custom-VJP slab attention + fused
+    MLP) equal the XLA tower's gradients — the Stage-I training path."""
+    from synchformer_tpu.models.motionformer import MotionFormerEncoder
+
+    params_cfg = dict(embed_dim=256, depth=1, num_heads=4, patch_size=8,
+                      z_block_size=2, temporal_resolution=2, img_size=32,
+                      factorize_space_time=True,
+                      agg_space_module="TransformerEncoderLayer",
+                      agg_time_module="Identity", dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 2, 4, 32, 32, 3)).astype(np.float32))
+
+    mx = MotionFormerEncoder(**params_cfg, attn_impl="xla")
+    variables = mx.init(jax.random.PRNGKey(0), x)
+    mp = MotionFormerEncoder(**params_cfg, attn_impl="pallas")
+
+    def loss(v, model):
+        out, _ = model.apply(v, x)
+        return jnp.sum(out ** 2)
+
+    gref = jax.grad(lambda v: loss(v, mx))(variables)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda v: loss(v, mp))(variables)
+    flat_ref = jax.tree_util.tree_leaves_with_path(gref)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got))
+    for path, leaf in flat_ref:
+        other = flat_got[path]
+        # f32 accumulation-order differences through the pallas backward
+        # kernels show up at ~1e-3 relative on O(100) grads; this is
+        # rounding, not semantics (12/98k elements at 5e-4)
+        np.testing.assert_allclose(np.asarray(other), np.asarray(leaf),
+                                   rtol=3e-3, atol=1e-2,
+                                   err_msg=jax.tree_util.keystr(path))
