@@ -121,12 +121,28 @@ class MultiHeadSelfAttention(nn.Module):
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    impl: str = "xla"  # 'pallas' fuses the softmax in VMEM (unmasked only)
 
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
         d = x.shape[-1]
         head_dim = d // self.num_heads
         qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        attn_stochastic = self.attn_dropout > 0.0 and not deterministic
+        if self.impl == "pallas" and keep_mask is None and not attn_stochastic:
+            from synchformer_tpu.ops.pallas.standard_attention import (
+                groupable,
+                standard_attention,
+            )
+
+            if groupable(self.num_heads, head_dim):
+                lead = x.shape[:-1]
+                out = standard_attention(qkv.reshape(-1, lead[-1], 3 * d),
+                                         self.num_heads)
+                out = out.reshape(*lead, d)
+                out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
+                return nn.Dropout(self.proj_dropout)(
+                    out, deterministic=deterministic)
         qkv = qkv.reshape(*x.shape[:-1], 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, -3, 0)
         q = jnp.swapaxes(q, -3, -2)  # (..., H, N, Dh)
@@ -202,7 +218,7 @@ class PreLNBlock(nn.Module):
         attn_out = MultiHeadSelfAttention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_dropout=self.attn_dropout, proj_dropout=self.resid_dropout,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, impl=self.impl, name="attn",
         )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln1")(x),
           keep_mask=keep_mask, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)

@@ -183,3 +183,45 @@ def test_motionformer_split_flow_grad_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(other), np.asarray(leaf),
                                    rtol=3e-3, atol=1e-2,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("n", [13, 74, 197])
+def test_standard_attention_matches_ref(rng, n):
+    from synchformer_tpu.ops.pallas.standard_attention import (
+        standard_attention, standard_attention_ref)
+
+    b, heads, dh = 8, 4, 64
+    d = heads * dh
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * d)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = standard_attention(qkv, heads)
+    ref = standard_attention_ref(qkv, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(x):
+        return jnp.sum(standard_attention(x, heads) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(standard_attention_ref(x, heads) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss)(qkv)
+    gref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_preln_block_pallas_attention_matches_xla(rng):
+    from synchformer_tpu.models.layers import PreLNBlock
+
+    b, n, d = 8, 74, 256
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    bx = PreLNBlock(num_heads=4, impl="xla")
+    variables = bx.init(jax.random.PRNGKey(0), x)
+    ref = bx.apply(variables, x)
+    bp = PreLNBlock(num_heads=4, impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        got = bp.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
