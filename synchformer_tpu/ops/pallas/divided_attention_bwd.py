@@ -22,7 +22,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from synchformer_tpu.ops.pallas.divided_attention import divided_attention_pallas
+from synchformer_tpu.ops.pallas.divided_attention import (
+    _NT,
+    _PV3,
+    _QK3,
+    _lane_masks_v3,
+    divided_attention_pallas,
+)
+
+_TQ3 = (((1,), (1,)), ((0,), (0,)))  # contract queries axis, batch frames
+_T0 = (((0,), (0,)), ((), ()))       # contract rows axis (transpose-free outer)
 
 
 def _cls_row_bwd(q, k, v, do_cls, scale):
@@ -240,6 +249,261 @@ def _divided_attention_bwd_pallas(qkv, dout, num_heads: int, num_frames: int,
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# 4D (split cls/patches) backward — lane-masked head pairs, aligned slabs
+# ---------------------------------------------------------------------------
+#
+# Mirrors the 4D forward (divided_attention.py::_kernel_4d): one full-width
+# contiguous block per program (grid over segments only), patches kept as
+# (segs, f, n, 3D) so every in-kernel slice is sublane-aligned, heads
+# processed in 128-lane PAIRS separated by lane masking. Removes the packed
+# <-> split conversion copies the v1 backward path needed (~30 ms/step of
+# pure relayouts in the Stage-I train step).
+#
+# Lane-masking in the backward: for head h with mask qm, the cotangent is
+# masked on the DO side (do*qm) so dv/dp contractions only see head-h lanes;
+# dq results are masked AFTER the ds@k matmul (k is unmasked, so the other
+# head's lanes carry garbage that the mask kills); dk contracts against the
+# already-masked q so it lands packed in head-h lanes by construction.
+
+
+def _cls_row_bwd_4d(qc, kc, vc, kf, vf, doc, masks):
+    """Backward of the 4D CLS row (cls query attends [cls; all patches]).
+
+    qc is PRE-SCALED (1, w); kf/vf are (f, n, w); doc is the (1, w)
+    cotangent. Returns f32 (dqc, dkc, dvc, dkf, dvf) where dqc is w.r.t. the
+    PRE-SCALED query (caller applies the extra head-dim scale)."""
+    f, n, w = kf.shape
+    dqc = jnp.zeros((1, w), jnp.float32)
+    dkc = jnp.zeros((1, w), jnp.float32)
+    dvc = jnp.zeros((1, w), jnp.float32)
+    dkf_js = [jnp.zeros((n, w), jnp.float32) for _ in range(f)]
+    dvf_js = [jnp.zeros((n, w), jnp.float32) for _ in range(f)]
+    for qm in masks:
+        qcm = qc * qm
+        lc = jnp.sum((qcm * kc).astype(jnp.float32), axis=-1, keepdims=True)
+        lps = [jax.lax.dot_general(qcm, kf[j], _NT,
+                                   preferred_element_type=jnp.float32)
+               for j in range(f)]                       # (1, n) each
+        m = lc
+        for lp in lps:
+            m = jnp.maximum(m, jnp.max(lp, axis=-1, keepdims=True))
+        ec = jnp.exp(lc - m)
+        eps = [jnp.exp(lp - m) for lp in lps]
+        denom = ec
+        for e in eps:
+            denom = denom + jnp.sum(e, axis=-1, keepdims=True)
+        pc = ec / denom                                  # (1, 1)
+        ps = [e / denom for e in eps]                    # (1, n)
+        dom = (doc * qm).astype(jnp.float32)             # masked cotangent
+        dom_b = dom.astype(doc.dtype)
+        dpc = jnp.sum(dom * vc.astype(jnp.float32), axis=-1, keepdims=True)
+        dps = [jax.lax.dot_general(dom_b, vf[j], _NT,
+                                   preferred_element_type=jnp.float32)
+               for j in range(f)]                        # (1, n)
+        sigma = pc * dpc
+        for p_, dp_ in zip(ps, dps):
+            sigma = sigma + jnp.sum(p_ * dp_, axis=-1, keepdims=True)
+        dsc = pc * (dpc - sigma)                         # (1, 1)
+        dqc_m = dsc * kc.astype(jnp.float32)
+        dkc = dkc + dsc * qcm.astype(jnp.float32)
+        dvc = dvc + pc * dom
+        for j in range(f):
+            dsj = (ps[j] * (dps[j] - sigma)).astype(qc.dtype)   # (1, n)
+            dqc_m = dqc_m + jnp.dot(dsj, kf[j],
+                                    preferred_element_type=jnp.float32)
+            # outer products without transposes: contract the size-1 dim 0
+            dkf_js[j] = dkf_js[j] + jax.lax.dot_general(
+                dsj, qcm, _T0, preferred_element_type=jnp.float32)
+            dvf_js[j] = dvf_js[j] + jax.lax.dot_general(
+                ps[j].astype(doc.dtype), dom_b, _T0,
+                preferred_element_type=jnp.float32)
+        dqc = dqc + dqc_m * qm
+    return dqc, dkc, dvc, jnp.stack(dkf_js), jnp.stack(dvf_js)
+
+
+def _space_bwd_pair_4d(qf, kf, vf, kc, vc, dof, masks, dtype):
+    """Frame-batched space-attention backward with the CLS k/v folded in.
+
+    qf is PRE-SCALED (f, n, w); kc/vc are (1, w); dof is the (f, n, w)
+    cotangent. Returns f32 (dqf, dkf, dvf, dkc, dvc); dqf w.r.t. the
+    pre-scaled query."""
+    dqf = jnp.zeros(qf.shape, jnp.float32)
+    dkf = jnp.zeros(qf.shape, jnp.float32)
+    dvf = jnp.zeros(qf.shape, jnp.float32)
+    dkc = jnp.zeros((1, qf.shape[-1]), jnp.float32)
+    dvc = jnp.zeros((1, qf.shape[-1]), jnp.float32)
+    for qm in masks:
+        qfm = qf * qm[None]
+        logits = jax.lax.dot_general(qfm, kf, _QK3,
+                                     preferred_element_type=jnp.float32)
+        cls_logit = jnp.sum(qfm * kc[None].astype(qf.dtype), axis=-1,
+                            keepdims=True, dtype=jnp.float32)     # (f, n, 1)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+        ep = jnp.exp(logits - m)
+        ec = jnp.exp(cls_logit - m)
+        denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
+        p = ep / denom                                   # (f, n, n) f32
+        pc = ec / denom                                  # (f, n, 1) f32
+        dom_b = dof * qm[None].astype(dof.dtype)
+        dom = dom_b.astype(jnp.float32)
+        dvf = dvf + jax.lax.dot_general(p.astype(dtype), dom_b, _TQ3,
+                                        preferred_element_type=jnp.float32)
+        dvc = dvc + jnp.sum(pc * dom, axis=(0, 1))[None]
+        dp = jax.lax.dot_general(dom_b, vf, _QK3,
+                                 preferred_element_type=jnp.float32)
+        dpc = jnp.sum(dom * vc[None].astype(jnp.float32), axis=-1,
+                      keepdims=True)                      # (f, n, 1)
+        sigma = jnp.sum(p * dp, axis=-1, keepdims=True) + pc * dpc
+        ds = (p * (dp - sigma)).astype(dtype)
+        dsc = pc * (dpc - sigma)                          # (f, n, 1) f32
+        dqf = dqf + (jax.lax.dot_general(ds, kf, _PV3,
+                                         preferred_element_type=jnp.float32)
+                     + dsc * kc[None].astype(jnp.float32)) * qm[None]
+        dkf = dkf + jax.lax.dot_general(ds, qfm, _TQ3,
+                                        preferred_element_type=jnp.float32)
+        dkc = dkc + jnp.sum(dsc * qfm.astype(jnp.float32), axis=(0, 1))[None]
+    return dqf, dkf, dvf, dkc, dvc
+
+
+def _time_bwd_pair_4d(qf, kf, vf, kc, vc, dof, masks, dtype, group: int = 16):
+    """Per-position (time) attention backward via the same grouped masked MXU
+    matmuls as the forward: 16 aligned positions -> one (f*16, f*16) logits
+    tile with an iota grid mask. Shapes/returns as _space_bwd_pair_4d."""
+    f, n, w = qf.shape
+    neg = jnp.float32(-1e30)
+    dkc = jnp.zeros((1, w), jnp.float32)
+    dvc = jnp.zeros((1, w), jnp.float32)
+    dq_groups, dk_groups, dv_groups = [], [], []
+    gmasks = {}
+    for g0 in range(0, n, group):
+        gw = min(group, n - g0)
+        rows_n = f * gw
+        if gw not in gmasks:
+            rr = jax.lax.broadcasted_iota(jnp.int32, (rows_n, rows_n), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (rows_n, rows_n), 1)
+            gmasks[gw] = (rr % gw) == (cc % gw)
+        qg = qf[:, g0:g0 + gw].reshape(rows_n, w)
+        kg = kf[:, g0:g0 + gw].reshape(rows_n, w)
+        vg = vf[:, g0:g0 + gw].reshape(rows_n, w)
+        dog = dof[:, g0:g0 + gw].reshape(rows_n, w)
+        dqg = jnp.zeros((rows_n, w), jnp.float32)
+        dkg = jnp.zeros((rows_n, w), jnp.float32)
+        dvg = jnp.zeros((rows_n, w), jnp.float32)
+        for qm in masks:
+            qgm = qg * qm
+            logits = jax.lax.dot_general(qgm, kg, _NT,
+                                         preferred_element_type=jnp.float32)
+            logits = jnp.where(gmasks[gw], logits, neg)
+            cls_logit = jnp.sum(qgm * kc, axis=-1, keepdims=True,
+                                dtype=jnp.float32)        # (rows, 1)
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+            ep = jnp.exp(logits - m)
+            ec = jnp.exp(cls_logit - m)
+            denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
+            p = ep / denom      # masked entries underflow to exactly 0
+            pc = ec / denom
+            dom_b = dog * qm.astype(dog.dtype)
+            dom = dom_b.astype(jnp.float32)
+            dvg = dvg + jax.lax.dot_general(p.astype(dtype), dom_b, _T0,
+                                            preferred_element_type=jnp.float32)
+            dvc = dvc + jnp.sum(pc * dom, axis=0)[None]
+            dp = jax.lax.dot_general(dom_b, vg, _NT,
+                                     preferred_element_type=jnp.float32)
+            dpc = jnp.sum(dom * vc.astype(jnp.float32), axis=-1, keepdims=True)
+            sigma = jnp.sum(p * dp, axis=-1, keepdims=True) + pc * dpc
+            ds = (p * (dp - sigma)).astype(dtype)         # 0 where masked
+            dsc = pc * (dpc - sigma)                      # (rows, 1)
+            dqg = dqg + (jnp.dot(ds, kg, preferred_element_type=jnp.float32)
+                         + dsc * kc.astype(jnp.float32)) * qm
+            dkg = dkg + jax.lax.dot_general(ds, qgm, _T0,
+                                            preferred_element_type=jnp.float32)
+            dkc = dkc + jnp.sum(dsc * qgm.astype(jnp.float32), axis=0)[None]
+        dq_groups.append(dqg.reshape(f, gw, w))
+        dk_groups.append(dkg.reshape(f, gw, w))
+        dv_groups.append(dvg.reshape(f, gw, w))
+    return (jnp.concatenate(dq_groups, axis=1),
+            jnp.concatenate(dk_groups, axis=1),
+            jnp.concatenate(dv_groups, axis=1), dkc, dvc)
+
+
+def _bwd_kernel_4d(xp_ref, xc_ref, dop_ref, doc_ref, dxp_ref, dxc_ref, *,
+                   mode: str, head_dim: int, width: int, segs: int, d: int):
+    n_pairs = d // width
+    w = width
+    scale = jnp.asarray(head_dim ** -0.5, xp_ref.dtype)
+    scale32 = jnp.float32(head_dim ** -0.5)
+    masks = _lane_masks_v3(w, head_dim, xp_ref.dtype)
+    for s in range(segs):
+        for p in range(n_pairs):
+            qf = xp_ref[s, :, :, p * w:(p + 1) * w] * scale
+            kf = xp_ref[s, :, :, d + p * w:d + (p + 1) * w]
+            vf = xp_ref[s, :, :, 2 * d + p * w:2 * d + (p + 1) * w]
+            qc = xc_ref[s, :, p * w:(p + 1) * w] * scale
+            kc = xc_ref[s, :, d + p * w:d + (p + 1) * w]
+            vc = xc_ref[s, :, 2 * d + p * w:2 * d + (p + 1) * w]
+            dop = dop_ref[s, :, :, p * w:(p + 1) * w]
+            doc = doc_ref[s, :, p * w:(p + 1) * w]
+
+            dqc, dkc_c, dvc_c, dkf_c, dvf_c = _cls_row_bwd_4d(
+                qc, kc, vc, kf, vf, doc, masks)
+            if mode == "space":
+                dqf, dkf_p, dvf_p, dkc_p, dvc_p = _space_bwd_pair_4d(
+                    qf, kf, vf, kc, vc, dop, masks, xp_ref.dtype)
+            else:
+                dqf, dkf_p, dvf_p, dkc_p, dvc_p = _time_bwd_pair_4d(
+                    qf, kf, vf, kc, vc, dop, masks, xp_ref.dtype)
+
+            dxp_ref[s, :, :, p * w:(p + 1) * w] = (
+                dqf * scale32).astype(dxp_ref.dtype)
+            dxp_ref[s, :, :, d + p * w:d + (p + 1) * w] = (
+                dkf_c + dkf_p).astype(dxp_ref.dtype)
+            dxp_ref[s, :, :, 2 * d + p * w:2 * d + (p + 1) * w] = (
+                dvf_c + dvf_p).astype(dxp_ref.dtype)
+            dxc_ref[s, :, p * w:(p + 1) * w] = (
+                dqc * scale32).astype(dxc_ref.dtype)
+            dxc_ref[s, :, d + p * w:d + (p + 1) * w] = (
+                dkc_c + dkc_p).astype(dxc_ref.dtype)
+            dxc_ref[s, :, 2 * d + p * w:2 * d + (p + 1) * w] = (
+                dvc_c + dvc_p).astype(dxc_ref.dtype)
+
+
+def _divided_attention_bwd_4d(qkv_p, qkv_c, dop, doc, num_heads: int,
+                              mode: str, segs_per_block: int = 1):
+    """Split-layout backward: (d qkv_patches (B, f, n, 3D), d qkv_cls
+    (B, 1, 3D)) from cotangents (dop (B, f, n, D), doc (B, 1, D))."""
+    b, f, n, threed = qkv_p.shape
+    d = threed // 3
+    dh = d // num_heads
+    hpg = max(1, 128 // dh)
+    width = hpg * dh
+    assert num_heads % hpg == 0 and width % 128 == 0, "use the packed bwd"
+    while segs_per_block > 1 and b % segs_per_block != 0:
+        segs_per_block //= 2
+    kernel = functools.partial(_bwd_kernel_4d, mode=mode, head_dim=dh,
+                               width=width, segs=segs_per_block, d=d)
+
+    def spec4(cols):
+        return pl.BlockSpec((segs_per_block, f, n, cols),
+                            lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    def spec3(cols):
+        return pl.BlockSpec((segs_per_block, 1, cols),
+                            lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // segs_per_block,),
+        in_specs=[spec4(threed), spec3(threed), spec4(d), spec3(d)],
+        out_specs=(spec4(threed), spec3(threed)),
+        out_shape=(jax.ShapeDtypeStruct((b, f, n, threed), qkv_p.dtype),
+                   jax.ShapeDtypeStruct((b, 1, threed), qkv_c.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(qkv_p, qkv_c, dop, doc)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def divided_attention(qkv, num_heads: int, num_frames: int, mode: str):
     """Differentiable fused divided attention: pallas forward AND backward."""
@@ -250,9 +514,9 @@ def divided_attention(qkv, num_heads: int, num_frames: int, mode: str):
 def divided_attention_split(qkv_patches, qkv_cls, num_heads: int, mode: str):
     """Differentiable split-layout divided attention (the fastest forward):
     qkv_patches (B, f, n, 3D) + qkv_cls (B, 1, 3D) -> (patches (B, f, n, D),
-    cls (B, 1, D)). Backward converts to the packed layout and reuses the
-    verified v1 backward kernels (the conversion copies only run when
-    gradients actually flow — frozen towers never pay it)."""
+    cls (B, 1, D)). Backward runs the 4D split-layout kernels directly when
+    the head layout is 128-lane aligned (no packed-layout conversion copies);
+    otherwise it converts to the packed layout and reuses the v1 kernels."""
     from synchformer_tpu.ops.pallas.divided_attention import (
         divided_attention_pallas_4d,
     )
@@ -274,6 +538,10 @@ def _bwd_split(num_heads, mode, res, g):
     gp, gc = g
     b, f, n, threed = qkv_p.shape
     d = threed // 3
+    dh = d // num_heads
+    hpg = max(1, 128 // dh)
+    if num_heads % hpg == 0 and (hpg * dh) % 128 == 0:
+        return _divided_attention_bwd_4d(qkv_p, qkv_c, gp, gc, num_heads, mode)
     qkv = jnp.concatenate([qkv_c, qkv_p.reshape(b, f * n, threed)], axis=1)
     dout = jnp.concatenate([gc, gp.reshape(b, f * n, d)], axis=1)
     dqkv = _divided_attention_bwd_pallas(qkv, dout, num_heads, f, mode)

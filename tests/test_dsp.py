@@ -51,6 +51,36 @@ def test_resample_preserves_tone(orig, new):
     assert corr > 0.999, corr
 
 
+@pytest.mark.parametrize("orig,new", [(9, 5), (3, 1), (5, 7)])
+def test_resample_matches_direct_sinc_evaluation(orig, new):
+    """Point-for-point oracle, independent of the polyphase/matmul structure:
+    y[i] = sum_n x[n] * k((n - i*orig/new) * base/orig), with k the
+    Kaiser-windowed sinc (lowpass_filter_width=6, rolloff=0.99,
+    beta=14.769656..., the torchaudio.functional.resample parameterization;
+    ref: torchaudio _apply_sinc_resample_kernel semantics). Evaluated with a
+    literal double loop in float64."""
+    lfw, rolloff, beta = 6, 0.99, 14.769656459379492
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal(400).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), orig, new,
+                            lowpass_filter_width=lfw, rolloff=rolloff))
+
+    base = min(orig, new) * rolloff
+    out_len = int(np.ceil(new * len(x) / orig))
+
+    def k(t):  # t already in units of base periods
+        t = np.clip(t, -lfw, lfw)
+        window = np.i0(beta * np.sqrt(1 - (t / lfw) ** 2)) / np.i0(beta)
+        return np.sinc(t) * window * base / orig
+
+    golden = np.zeros(out_len)
+    for i in range(out_len):
+        tau = i * orig / new
+        for n in range(len(x)):
+            golden[i] += x[n] * k((n - tau) * base / orig)
+    np.testing.assert_allclose(y[:out_len], golden, rtol=1e-4, atol=1e-5)
+
+
 def test_resample_multitone_spectrum_preserved():
     """Property golden (implementation-independent): every bandlimited tone
     survives resampling with its FFT amplitude intact to <1%. A resampler

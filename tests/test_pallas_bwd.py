@@ -43,6 +43,49 @@ def test_divided_attention_grads_match_xla(rng, mode):
                                    err_msg=str(path_x))
 
 
+@pytest.mark.parametrize("mode", ["space", "time"])
+def test_split_layout_grads_match_xla(rng, mode):
+    """4D split-(cls, patches) layout with a 128-lane-aligned head pairing:
+    the dedicated 4D backward kernels (no packed conversion) == jax.grad of
+    the XLA path on the concatenated sequence."""
+    f, n, heads, dh = 2, 8, 2, 64  # d=128 -> hpg=2, width=128: 4D path
+    seq, d = 1 + f * n, heads * dh
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, seq, d)).astype(np.float32))
+
+    attn_x = DividedAttention(num_heads=heads, attn_impl="xla")
+    variables = attn_x.init(jax.random.PRNGKey(0), x, f, mode)
+
+    def loss_xla(params, x):
+        out = attn_x.apply(params, x, f, mode)
+        return jnp.sum(jnp.sin(out))
+
+    g_params_x, g_x_x = jax.grad(loss_xla, argnums=(0, 1))(variables, x)
+
+    attn_p = DividedAttention(num_heads=heads, attn_impl="pallas")
+
+    def loss_split(params, x_cls, x_patch):
+        out_c, out_p = attn_p.apply(params, (x_cls, x_patch), f, mode)
+        return jnp.sum(jnp.sin(out_c)) + jnp.sum(jnp.sin(out_p))
+
+    x_cls = x[:, :1]
+    x_patch = x[:, 1:].reshape(b, f, n, d)
+    with pltpu.force_tpu_interpret_mode():
+        g_params_p, g_c, g_p = jax.grad(loss_split, argnums=(0, 1, 2))(
+            variables, x_cls, x_patch)
+
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_x_x[:, :1]),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x_x[:, 1:].reshape(b, f, n, d)),
+        rtol=5e-4, atol=5e-5)
+    for (path_x, gx), (_, gp) in zip(
+            jax.tree_util.tree_leaves_with_path(g_params_x),
+            jax.tree_util.tree_leaves_with_path(g_params_p)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=5e-4, atol=5e-5, err_msg=str(path_x))
+
+
 def test_encoder_tower_grads_match_xla(rng):
     """Full 2-block tower: d(loss)/d(params) identical between impls."""
     params_cfg = dict(embed_dim=32, depth=2, num_heads=4, patch_size=8,
