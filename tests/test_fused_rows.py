@@ -82,6 +82,29 @@ def test_fused_ln_mlp_matches_ref_and_grad(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_ln_mlp_slab_path_matches_ref(rng):
+    """4D input with a non-sublane-multiple token axis (the tower's split
+    (B, f, n, D) patches layout, n % 8 != 0) routes through the slab-chunked
+    kernel — same numerics, no flatten relayout."""
+    d, h, n = 64, 256, 67  # n % 8 != 0 and n >= 64 -> slab path
+    x = jnp.asarray(rng.standard_normal((2, 3, n, d)).astype(np.float32))
+    g, b = _ln_params(rng, d)
+    w1 = jnp.asarray((rng.standard_normal((d, h)) / 8).astype(np.float32))
+    b1 = jnp.asarray(0.02 * rng.standard_normal(h).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((h, d)) / 16).astype(np.float32))
+    b2 = jnp.asarray(0.02 * rng.standard_normal(d).astype(np.float32))
+    from synchformer_tpu.ops.pallas import fused_rows as fr
+
+    with pltpu.force_tpu_interpret_mode():
+        got_slab = fr._ln_mlp_pallas_slab(x, g, b, w1, b1, w2, b2, 1e-6)
+        got = fused_ln_mlp_residual(x, g, b, w1, b1, w2, b2)
+    ref = _ln_mlp_ref(x, g, b, w1, b1, w2, b2, 1e-6)
+    np.testing.assert_allclose(np.asarray(got_slab), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("mode", ["time", "space"])
 def test_slab_pipeline_matches_v1(rng, mode):
     b, f, n, heads, dh = 8, 4, 48, 4, 64
