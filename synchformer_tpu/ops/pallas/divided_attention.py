@@ -339,30 +339,29 @@ def _kernel_v3(x_ref, o_ref, *, mode: str, num_frames: int, n_tokens: int,
 
 def _cls_row_4d(qc, kc, vc, kf, vf, masks):
     """CLS query over [cls; all patches]. qc/kc/vc: (1, W); kf/vf: (f, n, W).
-    Returns (1, W) packed f32."""
+    Returns (1, W) packed f32.
+
+    The per-frame logits/PV matmuls run as TWO frame-batched dot_generals
+    (broadcast the single CLS query over the frame axis) instead of 2f tiny
+    (1, n) dispatches — the CLS row was ~0.65 ms of the 3.4 ms time-mode
+    kernel in the unrolled form (ablation in git history)."""
     f, n, w = kf.shape
     out = jnp.zeros((1, w), jnp.float32)
     for qm in masks:
         qcm = qc * qm
         lc = jnp.sum(qcm * kc, axis=-1, keepdims=True, dtype=jnp.float32)
-        lps = [jax.lax.dot_general(qcm, kf[j], _NT,
-                                   preferred_element_type=jnp.float32)
-               for j in range(f)]  # (1, n) each
-        m = lc
-        for lp in lps:
-            m = jnp.maximum(m, jnp.max(lp, axis=-1, keepdims=True))
+        qb = jnp.broadcast_to(qcm[None], (f, 1, w)).astype(qc.dtype)
+        lp = jax.lax.dot_general(qb, kf, _QK3,
+                                 preferred_element_type=jnp.float32)  # (f,1,n)
+        m = jnp.maximum(jnp.max(lp), lc[0, 0])
         ec = jnp.exp(lc - m)
-        denom = ec
-        eps = []
-        for lp in lps:
-            e = jnp.exp(lp - m)
-            eps.append(e)
-            denom = denom + jnp.sum(e, axis=-1, keepdims=True)
+        ep = jnp.exp(lp - m)
+        denom = ec + jnp.sum(ep, dtype=jnp.float32)
         vm = qm.astype(vf.dtype)
-        acc = ec * (vc * qm.astype(vc.dtype)).astype(jnp.float32)
-        for j in range(f):
-            acc = acc + jnp.dot(eps[j].astype(qc.dtype), vf[j] * vm,
-                                preferred_element_type=jnp.float32)
+        pv = jax.lax.dot_general(ep.astype(qc.dtype), vf * vm[None], _PV3,
+                                 preferred_element_type=jnp.float32)  # (f,1,w)
+        acc = ec * (vc * qm.astype(vc.dtype)).astype(jnp.float32) \
+            + jnp.sum(pv, axis=0)
         out = out + acc / denom
     return out
 
