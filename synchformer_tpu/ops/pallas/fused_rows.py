@@ -156,7 +156,10 @@ def _ln_mlp_pallas_slab(x, g, b, w1, b1, w2, b2, eps: float):
     x3 = x.reshape(-1, n, d)
     n_slabs = x3.shape[0]
     slabs = 1
-    for c in (4, 3, 2):
+    # chip sweep at (896, 196, 768)x3072: slabs=2 13.37 ms, 1 13.60,
+    # 4 13.82, 8 14.45, 14 14.27 — small programs pipeline DMA best, but
+    # singles pay too much per-program overhead
+    for c in (2, 3):
         if n_slabs % c == 0:
             slabs = c
             break
