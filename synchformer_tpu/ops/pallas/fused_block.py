@@ -69,22 +69,36 @@ def exact_gelu_f32(x32):
     return x32 * 0.5 * (1.0 + jax.lax.erf(x32 * (2.0 ** -0.5)))
 
 
-def _erf_as(z):
-    """Abramowitz & Stegun 7.1.26 rational erf approximation (|err| <=
-    1.5e-7) from exp only — Mosaic has no erf lowering (KernelType.TC)."""
-    p = 0.3275911
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    az = jnp.abs(z)
-    t = 1.0 / (1.0 + p * az)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+# erf(z) ~= z * P9(z^2) on |z| <= 3 (clamped; erf(3) = 1 - 2.2e-5), degree-9
+# Chebyshev least-squares fit converted to the power basis (coefficients
+# decay monotonically, so f32 Horner stays well-conditioned: |err| <= 3e-5
+# on the range incl. f32 evaluation). Replaces the A&S 7.1.26 rational form:
+# pure FMAs, no exp/reciprocal/sign — the exp-based form cost 14.02 ms vs
+# 12.84 ms for this one on the (896,196,768)x3072 slab LN+MLP chip bench
+# (the GELU is the dominant non-MXU op in those program bodies).
+_ERF_POLY = (1.1283768672322625, -0.37607043470191825, 0.11261191593609451,
+             -0.026508097122118452, 0.004930427932570047,
+             -0.0007122925277970079, 7.619287512854014e-05,
+             -5.581884377842221e-06, 2.462992635407088e-07,
+             -4.884558793996662e-09)
+
+
+def _erf_poly(z):
+    """erf on the VPU from FMAs only (Mosaic has no erf lowering): clamp to
+    |z| <= 3, odd polynomial z*P(z^2). |err| <= 3e-5 (plus 2.2e-5 tail
+    saturation) — far below the bf16 resolution of the surrounding compute."""
+    z = jnp.clip(z, -3.0, 3.0)
+    u = z * z
+    p = _ERF_POLY[-1]
+    for c in _ERF_POLY[-2::-1]:
+        p = p * u + c
+    return z * p
 
 
 def _gelu_kernel_f32(x32):
-    """In-kernel exact-GELU: |err| vs erf-GELU <= ~1e-7 * |x| — far below
-    the bf16 resolution of the surrounding compute."""
-    return x32 * 0.5 * (1.0 + _erf_as(x32 * (2.0 ** -0.5)))
+    """In-kernel erf-GELU: |err| <= ~1.5e-5 * max(|x|, 1) vs exact — far
+    below the bf16 resolution of the surrounding compute."""
+    return x32 * 0.5 * (1.0 + _erf_poly(x32 * (2.0 ** -0.5)))
 
 
 # ---------------------------------------------------------------------------

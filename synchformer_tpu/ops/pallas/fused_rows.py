@@ -20,8 +20,8 @@ HBM traffic per layer (B*N=175728, D=768, hidden=3072, bf16):
     fused_ln_mlp_residual:       270 MB in + 270 MB out = 0.54 GB
 
 Numerics identical to the module path: shared layer_norm/dense/GELU
-helpers from fused_block.py (flax LN f32 stats, erf-GELU via the A&S
-rational approximation — |err| <= 1.5e-7, far below bf16 resolution).
+helpers from fused_block.py (flax LN f32 stats, erf-GELU via a clamped
+degree-9 odd polynomial — |err| <= ~3e-5, far below bf16 resolution).
 Backward (training) reuses the XLA-composed reference via jax.custom_vjp,
 exactly like fused_block.py.
 """
