@@ -52,6 +52,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def commit_to_mesh(tree, mesh: Mesh):
+    """Re-commit restored checkpoint leaves to this mesh.
+
+    orbax restores each leaf with the *template's* sharding; template leaves
+    that were uncommitted scalars (e.g. optax ``count``, the step counter)
+    come back COMMITTED to the default device only. jit then rejects the
+    mixed committed device sets ("Received incompatible devices for jitted
+    computation"). Keep leaves already laid out on this mesh, replicate
+    everything else onto it.
+    """
+    rep = replicated(mesh)
+
+    def put(x):
+        s = getattr(x, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return x
+        return jax.device_put(jax.numpy.asarray(x), rep)
+
+    return jax.tree.map(put, tree)
+
+
 # parameters whose output-feature dim is safe to shard over 'model':
 # QKV/proj/MLP kernels of every tower and the sync transformer
 _TP_SHARDABLE = re.compile(

@@ -29,7 +29,13 @@ from synchformer_tpu.data.transforms import SyncPipelineConfig
 from synchformer_tpu.models.presets import build_avclip
 from synchformer_tpu.ops.mel import MelSpectrogramConfig, log_mel_spectrogram
 from synchformer_tpu.ops.video import prepare_video_batch
-from synchformer_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
+from synchformer_tpu.parallel.mesh import (
+    batch_sharding,
+    commit_to_mesh,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
 from synchformer_tpu.registry import instantiate_from_config
 from synchformer_tpu.train.metrics import gather_dict
 from synchformer_tpu.train.state import SyncTrainState, make_lr_schedule, make_optimizer
@@ -253,11 +259,15 @@ class AVCLIPTrainer:
             if self.is_moco:
                 template["moco"] = moco
             payload = self.ckpt.restore_latest(template=template)
-            state = state.replace(trainable=payload["trainable"],
-                                  opt_state=payload["opt_state"])
+            # re-commit to the mesh: orbax restores scalar-template leaves
+            # (optax counts) committed to the default device only, which jit
+            # rejects next to the mesh-sharded params (see mesh.commit_to_mesh)
+            state = state.replace(
+                trainable=commit_to_mesh(payload["trainable"], self.mesh),
+                opt_state=commit_to_mesh(payload["opt_state"], self.mesh))
             stopper.load_state_dict(payload["stopper"])
             if self.is_moco:
-                moco = payload["moco"]
+                moco = commit_to_mesh(payload["moco"], self.mesh)
             start_epoch = int(payload["epoch"]) + 1
             logging.info(f"Stage-I resumed from epoch {start_epoch - 1}")
         self._compile_steps()

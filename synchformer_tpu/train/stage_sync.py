@@ -25,7 +25,13 @@ from synchformer_tpu.data.transforms import SyncPipelineConfig
 from synchformer_tpu.models.presets import build_synchformer
 from synchformer_tpu.ops.mel import MelSpectrogramConfig, log_mel_spectrogram
 from synchformer_tpu.ops.video import prepare_video_batch
-from synchformer_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
+from synchformer_tpu.parallel.mesh import (
+    batch_sharding,
+    commit_to_mesh,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
 from synchformer_tpu.registry import instantiate_from_config
 from synchformer_tpu.train.metrics import calc_cls_metrics, gather_dict, per_class_accuracy
 from synchformer_tpu.train.state import (
@@ -298,9 +304,16 @@ class SyncTrainer:
             payload = self.ckpt.restore_latest(template={
                 "trainable": state.trainable, "opt_state": state.opt_state,
                 "step": 0, "epoch": 0, "stopper": stopper.state_dict()})
-            state = state.replace(trainable=payload["trainable"],
-                                  opt_state=payload["opt_state"],
-                                  step=jnp.asarray(payload["step"], jnp.int32))
+            # orbax restores array leaves with the template's shardings, but
+            # leaves whose template was an uncommitted scalar (step, optax
+            # counts) come back committed to the default device only — jit
+            # rejects mixed committed device sets, so re-commit everything
+            # to the mesh (replicating what isn't already laid out on it)
+            state = state.replace(
+                trainable=commit_to_mesh(payload["trainable"], self.mesh),
+                opt_state=commit_to_mesh(payload["opt_state"], self.mesh),
+                step=commit_to_mesh(jnp.asarray(int(payload["step"]), jnp.int32),
+                                    self.mesh))
             stopper.load_state_dict(payload["stopper"])
             start_epoch = int(payload["epoch"]) + 1
             logging.info(f"resumed from epoch {start_epoch - 1} "

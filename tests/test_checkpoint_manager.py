@@ -141,3 +141,50 @@ def test_metrics_doubt_class_exclusion():
     # only the two non-doubt items count for tolerance; both are within ±1
     assert m["accuracy_1_tol1"] == pytest.approx(1.0, abs=1e-4)
     assert m["accuracy_1"] == pytest.approx(0.5)  # items 0 and 2 hit exactly
+
+
+def test_restored_payload_recommits_to_mesh(tmp_path, rng):
+    """Regression: orbax restores leaves whose template was an uncommitted
+    scalar (optax ``count``) COMMITTED to the default device; next to the
+    mesh-sharded params, jit then fails with "Received incompatible devices
+    for jitted computation". ``commit_to_mesh`` must land every restored leaf
+    on the mesh (replicating what isn't already laid out on it)."""
+    from jax.sharding import NamedSharding
+
+    from synchformer_tpu.parallel.mesh import (
+        commit_to_mesh,
+        make_mesh,
+        param_shardings,
+    )
+
+    mesh = make_mesh()
+    params = {"a_proj": {"linear": {
+        "kernel": jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32)),
+        "bias": jnp.zeros((8,))}}}
+    params = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
+    tx = make_optimizer("adam", lr=1e-3)  # chain incl. clip -> count scalars
+    state = SyncTrainState.create(params, tx, trainable_keys=("a_proj",))
+
+    mngr = CheckpointManager(str(tmp_path / "ckpts"))
+    mngr.save_latest(0, {"trainable": jax.tree.map(np.asarray, state.trainable),
+                         "opt_state": jax.tree.map(np.asarray, state.opt_state),
+                         "step": 3, "epoch": 0})
+    payload = mngr.restore_latest(template={
+        "trainable": state.trainable, "opt_state": state.opt_state,
+        "step": 0, "epoch": 0})
+
+    # the raw restore is mixed-committed (this is the orbax behavior the
+    # helper exists for) ...
+    raw_devsets = {tuple(sorted(d.id for d in leaf.sharding.device_set))
+                   for leaf in jax.tree.leaves(payload["opt_state"])
+                   if hasattr(leaf, "sharding")}
+    assert len(raw_devsets) > 1, raw_devsets
+    # ... and commit_to_mesh heals it without touching values
+    fixed = commit_to_mesh(payload["opt_state"], mesh)
+    for leaf, ref_leaf in zip(jax.tree.leaves(fixed),
+                              jax.tree.leaves(state.opt_state)):
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert leaf.sharding.mesh == mesh
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref_leaf))
+    step = commit_to_mesh(jnp.asarray(int(payload["step"]), jnp.int32), mesh)
+    assert int(step) == 3 and step.sharding.mesh == mesh
