@@ -118,3 +118,84 @@ def test_avclip_trainer_end_to_end(tmp_path):
     # logit scale stayed clamped
     scale = float(trainer._state.trainable["logit_scale"])
     assert 0.001 <= scale <= 0.5
+
+
+@pytest.mark.slow
+def test_stage_clip_kill_and_resume_moco(tmp_path):
+    """Stage-I crash-resume (ref: train_clip.py:126-159 resume='latest'):
+    params + optimizer + EMA/queues (MoCo) + early-stopper state restore and
+    training continues from the next epoch. Regression guard for the orbax
+    mixed-commitment restore (mesh.commit_to_mesh): without it the first
+    resumed jitted step dies with "Received incompatible devices"."""
+    import copy
+    import logging as pylogging
+
+    import jax
+
+    cfg = copy.deepcopy(TINY_AVCLIP_CFG)
+    cfg["logging"] = dict(logdir=str(tmp_path), exp_name="exp0",
+                          log_code_state=False)
+    cfg["model"]["target"] = "synchformer_tpu.models.moco_clip.MultilevelMoCoCLIP"
+    mp = cfg["model"]["params"]
+    mp.update(queue_size=8, momentum=0.9)
+    for tower in ("afeat_extractor", "vfeat_extractor"):
+        mp[tower]["params"].update(add_global_repr=True,
+                                   agg_segments_module="TransformerEncoderLayer",
+                                   max_segments=cfg["data"]["n_segments"])
+    cfg["training"] = dict(cfg["training"], alpha=0.4)
+
+    train_ds = SyntheticAV("train", n_clips=16)
+    valid_ds = SyntheticAV("valid", n_clips=8)
+    trainer = AVCLIPTrainer(cfg)
+    trainer.fit(train_ds, valid_ds, num_workers=2, max_epochs=1,
+                decode_backend="synthetic")
+    assert trainer.ckpt.latest_step() == 0
+    ema_before = np.asarray(jnp.ravel(jnp.asarray(
+        trainer._moco["params_m"]["segment_logit_scale"])))
+
+    # simulate a crash: fresh trainer on the same exp dir, resume='latest'
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["training"] = dict(cfg2["training"], resume="latest")
+    trainer2 = AVCLIPTrainer(cfg2)
+    with _capture_info() as records:
+        results = trainer2.fit(train_ds, valid_ds, num_workers=2, max_epochs=2,
+                               decode_backend="synthetic")
+    assert any("Stage-I resumed from epoch 0" in r for r in records)
+    # only epoch 1 ran after the resume
+    assert results["epoch"] == 1
+    # the optimizer count carried over: 2 steps/epoch x 2 epochs total
+    counts = [leaf for path, leaf in
+              jax.tree_util.tree_leaves_with_path(trainer2._state.opt_state)
+              if "count" in jax.tree_util.keystr(path)]
+    assert counts and all(int(c) == 4 for c in counts)
+    # the EMA params resumed from the checkpointed values (a fresh run's EMA
+    # would re-start from the re-initialized online params)
+    ema_after = np.asarray(jnp.ravel(jnp.asarray(
+        trainer2._moco["params_m"]["segment_logit_scale"])))
+    assert np.isfinite(ema_after).all()
+    assert not np.allclose(ema_after, ema_before)  # epoch 1 kept updating it
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _capture_info():
+    import logging as pylogging
+
+    records = []
+
+    class _H(pylogging.Handler):
+        def emit(self, rec):
+            records.append(rec.getMessage())
+
+    h = _H(level=pylogging.INFO)
+    root = pylogging.getLogger()
+    old_level = root.level
+    root.addHandler(h)
+    root.setLevel(pylogging.INFO)
+    try:
+        yield records
+    finally:
+        root.removeHandler(h)
+        root.setLevel(old_level)
