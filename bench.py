@@ -15,6 +15,8 @@ probe script).
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -23,8 +25,34 @@ import numpy as np
 # 81.2 s/clip -> 0.0123 clips/s)
 CPU_BASELINE_CLIPS_PER_SEC = 0.0123
 
+_PROBE = ("import jax, jax.numpy as jnp, numpy as np; "
+          "print(float(np.asarray(jnp.sum(jnp.ones((8, 8))))))")
+
+
+def wait_for_tpu(attempts: int = 10, probe_timeout: int = 120,
+                 sleep_between: int = 60) -> None:
+    """Block until the axon TPU tunnel answers a tiny computation.
+
+    The tunnel intermittently drops (backend-init RuntimeError or an
+    indefinite hang inside the PJRT client), so the probe runs in a
+    subprocess with a hard timeout and retries with backoff instead of
+    letting the bench process itself wedge.
+    """
+    for i in range(attempts):
+        try:
+            subprocess.run([sys.executable, "-c", _PROBE], check=True,
+                           timeout=probe_timeout, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if i == attempts - 1:
+                raise RuntimeError(
+                    "TPU backend unreachable after %d probe attempts" % attempts)
+            time.sleep(sleep_between)
+
 
 def main():
+    wait_for_tpu()
     import jax
     import jax.numpy as jnp
 
