@@ -153,10 +153,50 @@ def _install_timm():
         sys.modules[name] = m
 
 
+class _FrozenBatchNorm2d(torch.nn.Module):
+    """torchvision.ops.misc.FrozenBatchNorm2d semantics: BatchNorm2d with
+    fixed affine params and running stats (used only on the reference's
+    vestigial CLIP-vision path; imported by open_clip/utils.py:5)."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5):
+        super().__init__()
+        self.eps = eps
+        self.register_buffer("weight", torch.ones(num_features))
+        self.register_buffer("bias", torch.zeros(num_features))
+        self.register_buffer("running_mean", torch.zeros(num_features))
+        self.register_buffer("running_var", torch.ones(num_features))
+
+    def forward(self, x):
+        w = self.weight.reshape(1, -1, 1, 1)
+        b = self.bias.reshape(1, -1, 1, 1)
+        rm = self.running_mean.reshape(1, -1, 1, 1)
+        rv = self.running_var.reshape(1, -1, 1, 1)
+        scale = w * (rv + self.eps).rsqrt()
+        return x * scale + (b - rm * scale)
+
+
+def _install_torchvision():
+    if "torchvision" in sys.modules:
+        return
+    import importlib.machinery
+
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    misc = types.ModuleType("torchvision.ops.misc")
+    misc.FrozenBatchNorm2d = _FrozenBatchNorm2d
+    tv.ops = ops
+    ops.misc = misc
+    for name, m in (("torchvision", tv), ("torchvision.ops", ops),
+                    ("torchvision.ops.misc", misc)):
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = m
+
+
 def install():
     """Install shims and reference sys.path entries (idempotent)."""
     _install_omegaconf()
     _install_timm()
+    _install_torchvision()
     for p in (str(REF_ROOT),
               str(REF_ROOT / "model" / "modules" / "feat_extractors" / "visual")):
         if p not in sys.path:

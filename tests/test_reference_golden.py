@@ -16,6 +16,9 @@ and the flax forward pass, at four levels:
 4. Full AST tower vs ref: audio/ast.py:137-279 (real dims: 12 layers, D=768)
 5. GlobalTransformer (+syncability head) vs ref: model/sync_model.py:117-190
 6. Full Synchformer logits+loss vs ref: model/sync_model.py:38-99 (slow)
+7. Stage-I contrastive losses (AVCLIP divisor-temperature InfoNCE; MoCo
+   queue negatives + ALBEF soft targets) vs ref: open_clip/model.py:507-531,
+   694-721
 """
 from __future__ import annotations
 
@@ -366,3 +369,91 @@ def test_synchformer_full_golden(rng):
     np.testing.assert_allclose(np.asarray(logits), t2n(ref_logits),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# 7. Stage-I contrastive losses vs the reference's own open_clip/model.py
+# ---------------------------------------------------------------------------
+
+def _load_ref_open_clip_model():
+    """Import the reference's open_clip/model.py under a synthetic package so
+    its relative imports resolve WITHOUT executing open_clip/__init__.py
+    (which drags in CoCa / HF-hub / tokenizer surfaces irrelevant here)."""
+    import importlib
+    import importlib.machinery
+    import sys
+    import types
+
+    if "open_clip.model" in sys.modules:
+        return sys.modules["open_clip.model"]
+    ocdir = (refshim.REF_ROOT / "model" / "modules" / "feat_extractors"
+             / "train_clip_src" / "open_clip")
+    # the package must be registered under its real name ("open_clip"):
+    # modified_resnet.py etc. use absolute `open_clip.*` imports internally
+    pkg = types.ModuleType("open_clip")
+    pkg.__path__ = [str(ocdir)]
+    spec = importlib.machinery.ModuleSpec("open_clip", None, is_package=True)
+    spec.submodule_search_locations = [str(ocdir)]
+    pkg.__spec__ = spec
+    sys.modules["open_clip"] = pkg
+    return importlib.import_module("open_clip.model")
+
+
+def _unit_rows(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_avclip_contrastive_loss_golden(rng):
+    """AVCLIP loss (divisor temperature, symmetric CE, eye targets) vs
+    ref: open_clip/model.py:507-531 run verbatim in torch fp32. The loss
+    methods are stateless, so the reference object is built without towers."""
+    ref = _load_ref_open_clip_model()
+    n, d, scale = 24, 32, 0.07
+    v, a = _unit_rows(rng, n, d), _unit_rows(rng, n, d)
+    obj = ref.AVCLIP.__new__(ref.AVCLIP)
+    ref_loss, (ref_sim_v2a, _) = obj.compute_loss(
+        torch.from_numpy(v), torch.from_numpy(a),
+        torch.from_numpy(v).mT, torch.from_numpy(a).mT, torch.tensor(scale))
+
+    from synchformer_tpu.models.avclip import AVCLIP
+
+    model = AVCLIP(n_embd=d, afeat_extractor={}, vfeat_extractor={},
+                   aproj={}, vproj={})  # unbound: loss uses no params
+    got = model.contrastive_loss(jnp.asarray(v), jnp.asarray(a),
+                                 jnp.asarray(v), jnp.asarray(a),
+                                 jnp.asarray(scale))
+    np.testing.assert_allclose(float(got), float(ref_loss),
+                               rtol=1e-5, atol=1e-6)
+    # the logging similarity matrix is the same divisor-temperature formula
+    np.testing.assert_allclose(np.asarray(v @ a.T / scale, dtype=np.float32),
+                               t2n(ref_sim_v2a), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.4])
+def test_moco_contrastive_loss_golden(alpha, rng):
+    """MoCo loss vs [momentum keys | queue] negatives, incl. the ALBEF
+    soft-target interpolation, vs ref: open_clip/model.py:694-721."""
+    ref = _load_ref_open_clip_model()
+    n, q, d, scale = 8, 16, 32, 0.05
+    v, a = _unit_rows(rng, n, d), _unit_rows(rng, n, d)
+    vm, am = _unit_rows(rng, n, d), _unit_rows(rng, n, d)
+    vq, aq = _unit_rows(rng, q, d), _unit_rows(rng, q, d)
+    v_all = np.concatenate([vm, vq], 0).T  # (D, B+Q), as the reference cats
+    a_all = np.concatenate([am, aq], 0).T
+
+    obj = ref.MultilevelMoCoCLIP.__new__(ref.MultilevelMoCoCLIP)
+    ref_loss, _ = obj.compute_loss(
+        torch.from_numpy(v), torch.from_numpy(a),
+        torch.from_numpy(v_all), torch.from_numpy(a_all),
+        torch.tensor(scale), alpha=alpha,
+        vfeat_m=torch.from_numpy(vm), afeat_m=torch.from_numpy(am))
+
+    from synchformer_tpu.models.moco_clip import moco_contrastive_loss
+
+    got = moco_contrastive_loss(
+        jnp.asarray(v), jnp.asarray(a), jnp.asarray(v_all),
+        jnp.asarray(a_all), jnp.asarray(scale), alpha=alpha,
+        vfeat_m=jnp.asarray(vm), afeat_m=jnp.asarray(am))
+    np.testing.assert_allclose(float(got), float(ref_loss),
+                               rtol=1e-5, atol=1e-6)
