@@ -42,8 +42,8 @@ def calc_cls_metrics(targets, outputs, topk: Sequence[int] = (1, 5),
                      softmaxed_outputs: bool = False,
                      calc_pr_rec_f1: bool = False) -> Dict[str, float]:
     """targets: (N,) int; outputs: (N, C) logits (or probs if softmaxed_outputs)."""
-    if prefix and not prefix.endswith("/"):
-        prefix = prefix + "/"
+    if prefix and not prefix.endswith("_"):
+        prefix = prefix + "_"  # ref: utils/utils.py:90-93 (fix_prefix)
     targets = np.asarray(targets)
     outputs = np.asarray(outputs, dtype=np.float64)
     n, num_cls = outputs.shape

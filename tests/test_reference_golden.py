@@ -457,3 +457,65 @@ def test_moco_contrastive_loss_golden(alpha, rng):
         vfeat_m=jnp.asarray(vm), afeat_m=jnp.asarray(am))
     np.testing.assert_allclose(float(got), float(ref_loss),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 8. calc_cls_metrics vs the reference's own scripts/train_utils.py:632-742
+#    (sklearn is installed, so the reference metric code runs verbatim)
+# ---------------------------------------------------------------------------
+
+def _load_ref_train_utils():
+    import importlib.util
+    import sys
+
+    if "ref_train_utils" in sys.modules:
+        return sys.modules["ref_train_utils"]
+    refshim.install()
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_utils", str(refshim.REF_ROOT / "scripts" / "train_utils.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_train_utils"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("case", ["multiclass", "prefix", "binary", "doubt",
+                                  "only_acc", "missing"])
+def test_calc_cls_metrics_golden(case, rng):
+    """Metric-for-metric equality with the reference's calc_cls_metrics on
+    identical inputs: accuracy@k (incl. the binary positive-score path),
+    ±1-tolerance accuracy (incl. doubt-class exclusion), one-vs-rest
+    mAP/mROCAUC/d-prime, missing-class dummy values, P/R/F1, and the
+    fix_prefix underscore convention."""
+    tu = _load_ref_train_utils()
+    from synchformer_tpu.train.metrics import calc_cls_metrics
+
+    n, c = 400, 21
+    kwargs = dict(topk=(1, 5))
+    if case == "binary":
+        c = 2
+        kwargs = dict(topk=(1, 5), calc_pr_rec_f1=True)
+    elif case == "doubt":
+        kwargs = dict(topk=(1, 2), add_doubt_cls=True)
+    elif case == "only_acc":
+        kwargs = dict(topk=(1,), only_accuracy=True)
+    elif case == "prefix":
+        kwargs = dict(topk=(1,), prefix="test")
+
+    targets = rng.integers(0, c, n)
+    if case != "missing":
+        targets[:c] = np.arange(c)  # every class occurs -> real mAP/ROC path
+    else:
+        targets = np.clip(targets, 0, c - 3)  # top classes absent -> dummies
+    logits = rng.standard_normal((n, c)).astype(np.float64)
+    logits[np.arange(n), targets] += 1.5  # non-trivial but imperfect model
+
+    ref = tu.calc_cls_metrics(torch.from_numpy(targets).long(),
+                              torch.from_numpy(logits).float(),
+                              verbose=False, **kwargs)
+    got = calc_cls_metrics(targets, logits, verbose=False, **kwargs)
+
+    assert set(got) == set(ref), (sorted(got), sorted(ref))
+    for key in ref:
+        np.testing.assert_allclose(got[key], float(ref[key]), rtol=1e-6,
+                                   atol=1e-9, err_msg=key)
