@@ -37,32 +37,59 @@ def merge_params(trainable, frozen):
     return {**frozen, **trainable}
 
 
+def _ref_warmup(base_lr: float, warmup_steps: int) -> optax.Schedule:
+    """The reference's warmup ramp: lr(s) = base * (s + 1) / warmup
+    (ref: training/scheduler.py:9-10, exact including the +1)."""
+    return optax.linear_schedule(base_lr / warmup_steps, base_lr,
+                                 max(warmup_steps - 1, 1))
+
+
 def make_lr_schedule(name: str, base_lr: float, warmup_steps: int = 0,
                      total_steps: Optional[int] = None,
+                     cooldown_steps: Optional[int] = None,
+                     cooldown_power: float = 1.0,
                      cooldown_end: float = 0.0) -> optax.Schedule:
-    """LR schedules:
+    """LR schedules, step-exact vs the reference (golden:
+    tests/test_reference_golden.py::test_lr_schedule_golden):
     - 'constant' / 'constant_with_warmup' (ref: train_utils.py:238-248; warmup
       linearly recovers from base_lr/100 over `warmup_steps`)
-    - 'cosine' with linear warmup from 0 (Stage I, ref: scheduler.py:43-53)
-    - 'const-cooldown' (ref: scheduler.py:56-77)
+    - 'cosine' with the reference's (s+1)/warmup linear warmup
+      (Stage I, ref: training/scheduler.py:43-53)
+    - 'const-cooldown' with polynomial cooldown over the last
+      `cooldown_steps` (ref: training/scheduler.py:24-40)
     """
     if name == "constant":
         return optax.constant_schedule(base_lr)
+    if name == "const":  # Stage-I 'const': ref warmup then flat
+        # ref: training/scheduler.py:13-21
+        if warmup_steps <= 0:
+            return optax.constant_schedule(base_lr)
+        return optax.join_schedules(
+            [_ref_warmup(base_lr, warmup_steps),
+             optax.constant_schedule(base_lr)], [warmup_steps])
     if name == "constant_with_warmup":
         warm = optax.linear_schedule(base_lr / 100.0, base_lr, warmup_steps)
         return optax.join_schedules([warm, optax.constant_schedule(base_lr)],
                                     [warmup_steps])
     if name == "cosine":
         assert total_steps is not None
-        return optax.warmup_cosine_decay_schedule(
-            0.0, base_lr, warmup_steps, total_steps, end_value=0.0)
+        cos = optax.cosine_decay_schedule(base_lr,
+                                          max(total_steps - warmup_steps, 1))
+        if warmup_steps <= 0:
+            return cos
+        return optax.join_schedules([_ref_warmup(base_lr, warmup_steps), cos],
+                                    [warmup_steps])
     if name == "const-cooldown":
         assert total_steps is not None
-        warm = optax.linear_schedule(0.0, base_lr, max(warmup_steps, 1))
-        const = optax.constant_schedule(base_lr)
-        cool = optax.linear_schedule(base_lr, cooldown_end, max(total_steps // 5, 1))
-        return optax.join_schedules([warm, const, cool],
-                                    [warmup_steps, total_steps - total_steps // 5])
+        cd = cooldown_steps if cooldown_steps is not None else total_steps // 5
+        cool = optax.polynomial_schedule(base_lr, cooldown_end, cooldown_power,
+                                         max(cd, 1))
+        segs = [optax.constant_schedule(base_lr), cool]
+        bounds = [total_steps - cd]
+        if warmup_steps > 0:
+            segs.insert(0, _ref_warmup(base_lr, warmup_steps))
+            bounds.insert(0, warmup_steps)
+        return optax.join_schedules(segs, bounds)
     raise ValueError(f"unknown lr schedule {name!r}")
 
 

@@ -519,3 +519,74 @@ def test_calc_cls_metrics_golden(case, rng):
     for key in ref:
         np.testing.assert_allclose(got[key], float(ref[key]), rtol=1e-6,
                                    atol=1e-9, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# 9. LR schedules vs the reference's own scheduler code
+# ---------------------------------------------------------------------------
+
+def _load_ref_by_path(name, relpath):
+    import importlib.util
+    import sys
+
+    if name in sys.modules:
+        return sys.modules[name]
+    refshim.install()
+    spec = importlib.util.spec_from_file_location(
+        name, str(refshim.REF_ROOT / relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_lr_schedule_golden_stage1():
+    """Step-exact lr(s) equality with the Stage-I adjusters
+    (ref: training/scheduler.py:13-53), including the (s+1)/warmup ramp."""
+    sched = _load_ref_by_path(
+        "ref_clip_scheduler",
+        "model/modules/feat_extractors/train_clip_src/training/scheduler.py")
+    from synchformer_tpu.train.state import make_lr_schedule
+
+    base, warmup, total = 3e-4, 7, 40
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+
+    cases = [
+        ("cosine", sched.cosine_lr(opt, base, warmup, total),
+         make_lr_schedule("cosine", base, warmup, total)),
+        ("const", sched.const_lr(opt, base, warmup, total),
+         make_lr_schedule("const", base, warmup, total)),
+        ("const-cooldown",
+         sched.const_lr_cooldown(opt, base, warmup, total, cooldown_steps=10,
+                                 cooldown_power=2.0, cooldown_end_lr=1e-5),
+         make_lr_schedule("const-cooldown", base, warmup, total,
+                          cooldown_steps=10, cooldown_power=2.0,
+                          cooldown_end=1e-5)),
+    ]
+    for label, ref_fn, ours in cases:
+        for s in range(total):
+            # optax evaluates in f32; the reference in f64 — tail values of
+            # the cosine differ in the 6th significant digit
+            np.testing.assert_allclose(float(ours(s)), float(ref_fn(s)),
+                                       rtol=2e-5, atol=1e-12,
+                                       err_msg=f"{label} step {s}")
+
+
+def test_lr_schedule_golden_constant_with_warmup():
+    """Step-exact equality with the Stage-II torch SequentialLR(LinearLR 1/100,
+    ConstantLR) built by the reference (ref: scripts/train_utils.py:238-248)."""
+    tu = _load_ref_train_utils()
+    from synchformer_tpu.train.state import make_lr_schedule
+
+    base, warmup = 3e-4, 7
+    cfg = refshim.to_dotdict(
+        {"training": {"lr_scheduler": {"name": "constant_with_warmup",
+                                       "warmup": warmup}}})
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    ref_sched = tu.get_lr_scheduler(cfg, opt)
+    ours = make_lr_schedule("constant_with_warmup", base, warmup)
+    for s in range(25):
+        ref_lr = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(float(ours(s)), ref_lr, rtol=2e-5,
+                                   atol=1e-12, err_msg=f"step {s}")
+        ref_sched.step()
