@@ -129,7 +129,9 @@ class SyncTrainer:
             betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
             momentum=float(opt_cfg.get("momentum", 0.9)),
             weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
-            max_clip_norm=float(training.get("max_clip_norm", 1.0)))
+            max_clip_norm=float(training.get("max_clip_norm", 1.0)),
+            # avoid NaNs in half precision (ref: train_utils.py:222-223)
+            eps=1e-7 if training.get("use_half_precision", True) else 1e-8)
 
         logdir = cfg.get("logging", {}).get("logdir", "./logs/sync_models")
         # pinning exp_name reuses an existing experiment dir — required for

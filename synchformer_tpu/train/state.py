@@ -96,14 +96,16 @@ def make_lr_schedule(name: str, base_lr: float, warmup_steps: int = 0,
 def make_optimizer(name: str = "adam", lr: Any = 2e-6, betas=(0.9, 0.999),
                    momentum: float = 0.9, weight_decay: float = 0.0,
                    max_clip_norm: Optional[float] = 1.0,
-                   weight_decay_mask=None) -> optax.GradientTransformation:
+                   weight_decay_mask=None,
+                   eps: float = 1e-8) -> optax.GradientTransformation:
     """adam/adamw/sgd + global-norm clipping (ref: train_utils.py:217-235,
-    373-386; clip 1.0 per configs/sync.yaml:78)."""
+    373-386; clip 1.0 per configs/sync.yaml:78). The reference raises eps to
+    1e-7 under half precision (ref: train_utils.py:223) — callers pass it."""
     if name == "adam":
-        tx = optax.adam(lr, b1=betas[0], b2=betas[1])
+        tx = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
     elif name == "adamw":
-        tx = optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay,
-                         mask=weight_decay_mask)
+        tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                         weight_decay=weight_decay, mask=weight_decay_mask)
     elif name == "sgd":
         tx = optax.sgd(lr, momentum=momentum)
     else:

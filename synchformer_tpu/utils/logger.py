@@ -139,7 +139,10 @@ class EarlyStopper:
     def __init__(self, patience: int, to_max: bool = True):
         self.patience = patience
         self.to_max = to_max
-        self.best = float("-inf") if to_max else float("inf")
+        # the reference starts to_max metrics at 0.0, NOT -inf — a first
+        # epoch scoring exactly 0.0 counts against patience
+        # (ref: train_utils.py:299)
+        self.best = 0.0 if to_max else float("inf")
         self.count = 0
         self.triggered = False
 

@@ -590,3 +590,32 @@ def test_lr_schedule_golden_constant_with_warmup():
         np.testing.assert_allclose(float(ours(s)), ref_lr, rtol=2e-5,
                                    atol=1e-12, err_msg=f"step {s}")
         ref_sched.step()
+
+
+# ---------------------------------------------------------------------------
+# 10. EarlyStopper decision parity vs ref scripts/train_utils.py:293-327
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("to_max", [True, False])
+def test_early_stopper_golden(to_max):
+    """Decision-for-decision equality with the reference stopper, including
+    the 0.0 (not -inf) starting best for to_max metrics."""
+    tu = _load_ref_train_utils()
+    from synchformer_tpu.utils.logger import EarlyStopper
+
+    seq = [0.0, 0.1, 0.2, 0.2, 0.15, 0.3, 0.3, 0.25, 0.25, 0.25]
+    if not to_max:
+        seq = [1.0 - v for v in seq]
+    ref = tu.EarlyStopper(patience=2, to_max=to_max, metric_name="m")
+    ours = EarlyStopper(patience=2, to_max=to_max)
+    for v in seq:
+        metrics = {"m": v}
+        ref_better = ref.is_new_model_better_than_curr(metrics)
+        if ref_better:
+            ref.reset_patience(0, metrics)
+        else:
+            ref.increment_patience(0)
+        assert ours.update(v) == ref_better, v
+        assert ours.best == pytest.approx(ref.best_metric)
+        assert ours.count == ref.no_change_epochs
+        assert ours.triggered == ref.triggered
