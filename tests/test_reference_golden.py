@@ -619,3 +619,25 @@ def test_early_stopper_golden(to_max):
         assert ours.best == pytest.approx(ref.best_metric)
         assert ours.count == ref.no_change_epochs
         assert ours.triggered == ref.triggered
+
+
+def test_per_class_accuracy_golden(rng):
+    """Our per-class accuracy equals the reference's per-offset-class
+    accuracy_1 from calc_performance_per_class (ref: train_utils.py:566-600)."""
+    tu = _load_ref_train_utils()
+    from synchformer_tpu.train.metrics import per_class_accuracy
+
+    n, c = 200, 7
+    targets = rng.integers(0, c, n)
+    targets[:c] = np.arange(c)
+    logits = rng.standard_normal((n, c)).astype(np.float32)
+    logits[np.arange(n), targets] += 1.0
+
+    target2label = {i: f"lab{i}" for i in range(c)}
+    ref = tu.calc_performance_per_class(
+        target2label, "off", torch.from_numpy(logits),
+        torch.from_numpy(targets).long())
+    got = per_class_accuracy(targets, logits)
+    for i in range(c):
+        np.testing.assert_allclose(got[i], float(ref[f"lab{i}"]["accuracy_1"]),
+                                   atol=1e-9, err_msg=f"class {i}")
