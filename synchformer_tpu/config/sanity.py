@@ -16,6 +16,66 @@ def cfg_sanity_check_and_patch(cfg: Mapping[str, Any]) -> Mapping[str, Any]:
 
     data = cfg.get("data", {})
     training = cfg.get("training", {})
+    model_params = cfg.get("model", {}).get("params", {})
+
+    if action == "train_avclip":
+        # towers must agree on the multi-level setup (ref: utils/utils.py:96-101)
+        a = model_params.get("afeat_extractor", {}).get("params", {})
+        v = model_params.get("vfeat_extractor", {}).get("params", {})
+        assert a.get("add_global_repr") == v.get("add_global_repr"), \
+            "add_global_repr is diff for A&V"
+        assert a.get("max_segments") == v.get("max_segments"), \
+            "max_segments is diff for A&V"
+
+    # legacy flag spelling: load_fixed_offsets_on_test -> load_fixed_offsets_on
+    # (ref: utils/utils.py:102-110)
+    ds_params = data.get("dataset", {}).get("params")
+    if isinstance(ds_params, dict) and "load_fixed_offsets_on_test" in ds_params:
+        if "load_fixed_offsets_on" not in ds_params:
+            ds_params["load_fixed_offsets_on"] = (
+                ["val", "valid", "test"]
+                if ds_params["load_fixed_offsets_on_test"] else [])
+        del ds_params["load_fixed_offsets_on_test"]
+
+    # resume / finetune / run_test_only are pairwise exclusive
+    # (ref: utils/utils.py:112-114)
+    modes = [m for m in ("resume", "finetune", "run_test_only")
+             if training.get(m)]
+    assert len(modes) <= 1, f"mutually exclusive training modes set: {modes}"
+
+    # offset parameterization must match the loss family
+    # (ref: utils/utils.py:116-121)
+    offset_type = data.get("offset_type")
+    loss_fn = training.get("loss_fn")
+    if offset_type is not None and loss_fn is not None:
+        loss_name = loss_fn[1] if isinstance(loss_fn, (list, tuple)) else str(loss_fn)
+        if "grid" in offset_type:
+            assert "mse" not in loss_name, f"to class but loss: {loss_name}"
+        elif "uniform" in offset_type:
+            assert "cross_entropy" not in loss_name, f"reg but loss: {loss_name}"
+
+    if "patience" in training:
+        assert training["patience"] is not None, "patience is None"
+    assert cfg.get("logging", {}).get("log_max_items", 1) > 0, \
+        "log_max_items should be > 0"
+
+    # resuming/testing restores the full model ckpt, which already contains
+    # the tower weights — drop standalone tower ckpt paths
+    # (ref: utils/utils.py:137-142)
+    if training.get("resume") or training.get("run_test_only"):
+        for tower in ("afeat_extractor", "vfeat_extractor"):
+            params = model_params.get(tower, {}).get("params")
+            if isinstance(params, dict) and params.get("ckpt_path"):
+                params["ckpt_path"] = None
+
+    # pre-proj legacy features cannot be similarity-visualized
+    # (ref: utils/utils.py:144-147)
+    a_target = model_params.get("afeat_extractor", {}).get("target", "")
+    v_target = model_params.get("vfeat_extractor", {}).get("target", "")
+    if (a_target.endswith("ResNet18AudioFeatures")
+            and v_target.endswith("S3DVisualFeatures")):
+        assert not cfg.get("logging", {}).get("vis_segment_sim", False), \
+            "logger.vizualize_segment_sim mults pre-proj features"
 
     if action in ("train_avsync_model", "ft_avsync_model_for_syncability"):
         offset_type = data.get("offset_type", "grid")
@@ -45,6 +105,4 @@ def cfg_sanity_check_and_patch(cfg: Mapping[str, Any]) -> Mapping[str, Any]:
         assert "Syncability" in target or target == "", \
             "syncability fine-tuning needs the syncability-head transformer"
 
-    if training.get("run_test_only") and training.get("resume"):
-        raise AssertionError("run_test_only and resume are mutually exclusive")
     return cfg

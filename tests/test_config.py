@@ -63,3 +63,46 @@ def test_sanity_rejects_bad_combos():
     cfg3 = Config({"action": "bogus"})
     with pytest.raises(AssertionError):
         cfg_sanity_check_and_patch(cfg3)
+
+
+def test_sanity_reference_patches_and_exclusions():
+    """The reference's patch/assert set (ref: utils/utils.py:95-148):
+    legacy fixed-offsets flag spelling, pairwise-exclusive training modes,
+    loss/offset family match, tower-ckpt nulling on resume, and the
+    train_avclip tower agreement checks."""
+    # legacy load_fixed_offsets_on_test is rewritten then removed
+    cfg = load_config(f"{CONFIG_DIR}/sync.yaml")
+    cfg.data.dataset.params["load_fixed_offsets_on_test"] = True
+    cfg.data.dataset.params.pop("load_fixed_offsets_on", None)
+    cfg_sanity_check_and_patch(cfg)
+    assert "load_fixed_offsets_on_test" not in cfg.data.dataset.params
+    assert list(cfg.data.dataset.params["load_fixed_offsets_on"]) == \
+        ["val", "valid", "test"]
+
+    # resume + finetune is invalid
+    cfg = load_config(f"{CONFIG_DIR}/sync.yaml")
+    cfg.training.resume = True
+    cfg.training.finetune = True
+    with pytest.raises(AssertionError):
+        cfg_sanity_check_and_patch(cfg)
+
+    # grid offsets with an mse loss is invalid
+    cfg = load_config(f"{CONFIG_DIR}/sync.yaml")
+    cfg.data.offset_type = "grid"
+    cfg.training.loss_fn = ["torch.nn.functional", "mse_loss"]
+    with pytest.raises(AssertionError):
+        cfg_sanity_check_and_patch(cfg)
+
+    # resuming drops standalone tower ckpt paths (the model ckpt has them)
+    cfg = load_config(f"{CONFIG_DIR}/sync.yaml")
+    cfg.training.run_test_only = True
+    cfg.model.params.afeat_extractor.params["ckpt_path"] = "/tmp/a.pt"
+    cfg_sanity_check_and_patch(cfg)
+    assert cfg.model.params.afeat_extractor.params["ckpt_path"] is None
+
+    # train_avclip towers must agree on multi-level settings
+    cfg = load_config(f"{CONFIG_DIR}/segment_avclip.yaml")
+    cfg.model.params.afeat_extractor.params["add_global_repr"] = True
+    cfg.model.params.vfeat_extractor.params["add_global_repr"] = False
+    with pytest.raises(AssertionError):
+        cfg_sanity_check_and_patch(cfg)
