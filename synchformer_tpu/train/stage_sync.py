@@ -358,7 +358,28 @@ class SyncTrainer:
             frozen = {k: merged[k] for k in state.frozen}
             state = state.replace(trainable=trainable, frozen=frozen)
             logging.info(f"finetuning from {ckpt_path} (counters reset)")
+            self._log_finetune_cfg_diff(ckpt_path)
         return state, start_epoch
+
+    def _log_finetune_cfg_diff(self, ckpt_path) -> None:
+        """Diff the fine-tuning checkpoint's saved cfg against the current one
+        into cfg_diffs.diff next to the ckpt (ref: scripts/train_sync.py:86)."""
+        from pathlib import Path
+
+        import yaml
+
+        from synchformer_tpu.utils.logger import show_cfg_diffs
+
+        ckpt_dir = Path(ckpt_path).parent
+        old_cfg_path = ckpt_dir / "cfg.yaml"
+        if not old_cfg_path.exists() or not isinstance(self.cfg, dict):
+            return
+        try:
+            with open(old_cfg_path) as f:
+                old_cfg = yaml.safe_load(f)
+            show_cfg_diffs(old_cfg, self.cfg, str(ckpt_dir / "cfg_diffs.diff"))
+        except Exception as e:  # observability only — never kill the run
+            logging.warning(f"could not write finetune cfg diff: {e}")
 
     def _maybe_profile(self, epoch: int):
         """jax profiler trace for the first training epoch when enabled —

@@ -24,6 +24,27 @@ from typing import Dict, Optional
 import yaml
 
 
+def show_cfg_diffs(old_cfg: Dict, new_cfg: Dict,
+                   save_path: Optional[str] = None) -> list:
+    """Unified diff of two config dicts rendered as YAML; printed, or written
+    to `save_path` (the reference saves `cfg_diffs.diff` next to the ckpt when
+    fine-tuning, ref: utils/utils.py:193-204 + scripts/train_sync.py:86)."""
+    import difflib
+
+    a = yaml.safe_dump(old_cfg, sort_keys=True).split("\n")
+    b = yaml.safe_dump(new_cfg, sort_keys=True).split("\n")
+    lines = list(difflib.unified_diff(a, b, fromfile="old", tofile="new",
+                                      lineterm=""))
+    if save_path is None:
+        for line in lines:
+            print(line)
+    else:
+        Path(save_path).write_text("\n".join(lines) + "\n")
+        logging.info(f"Config diff (current vs fine-tuning ckpt) saved to "
+                     f"{save_path}")
+    return lines
+
+
 def experiment_id(now: Optional[datetime] = None) -> str:
     """Timestamp id with a random backward shift (ref: train_utils.py:77-80)."""
     now = now or datetime.now()

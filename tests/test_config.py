@@ -106,3 +106,20 @@ def test_sanity_reference_patches_and_exclusions():
     cfg.model.params.vfeat_extractor.params["add_global_repr"] = False
     with pytest.raises(AssertionError):
         cfg_sanity_check_and_patch(cfg)
+
+
+def test_show_cfg_diffs_writes_unified_diff(tmp_path):
+    """ref: utils/utils.py:193-204 — YAML-rendered unified diff, written to a
+    file when a path is given."""
+    from synchformer_tpu.utils.logger import show_cfg_diffs
+
+    old = {"training": {"lr": 1e-4, "resume": False}, "action": "train_avsync_model"}
+    new = {"training": {"lr": 5e-5, "resume": False}, "action": "train_avsync_model"}
+    out = tmp_path / "cfg_diffs.diff"
+    lines = show_cfg_diffs(old, new, str(out))
+    text = out.read_text()
+    assert "-" in text and "+" in text
+    assert any("lr" in l for l in lines if l.startswith("-")), lines
+    assert any("lr" in l for l in lines if l.startswith("+")), lines
+    # identical configs -> empty diff
+    assert show_cfg_diffs(new, new, str(out)) == []
