@@ -29,7 +29,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from synchformer_tpu.data.datasets import VGGSoundSparsePickedCleanTest
     from synchformer_tpu.data.pipeline import SyncDataLoader

@@ -23,7 +23,6 @@ from glob import glob
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
-import numpy as np
 
 from synchformer_tpu.registry import register
 

@@ -11,7 +11,7 @@ torch->flax momentum convention flip: torch 0.001 == flax 0.999).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

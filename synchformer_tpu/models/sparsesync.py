@@ -8,9 +8,8 @@ n_layer pre-LN blocks, bias-free offset head on the OFF token.
 """
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional
+from typing import Any, Mapping
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

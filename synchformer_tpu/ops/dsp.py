@@ -23,8 +23,7 @@ The reference delegates these to torchaudio/sox on CPU per worker
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from synchformer_tpu.data.pipeline import SyncDataLoader, batch_to_device
 from synchformer_tpu.data.transforms import SyncPipelineConfig

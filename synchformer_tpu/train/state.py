@@ -13,7 +13,7 @@ projections, so no cotangents are needed at all).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax
 import jax

@@ -17,7 +17,7 @@ keeps this off the hot path too).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

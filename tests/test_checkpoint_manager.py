@@ -3,7 +3,6 @@ semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
 from synchformer_tpu.train.state import SyncTrainState, make_optimizer

@@ -8,10 +8,8 @@ minGPT parameterization. Converted weights must reproduce torch outputs to
 float tolerance — this is the machinery that will load the three published
 reference checkpoints.
 """
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 import torch.nn as tnn
 

@@ -6,7 +6,6 @@ import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from synchformer_tpu.models.sync_model import Synchformer
 from synchformer_tpu.utils.checkpoint import convert_sync_checkpoint

@@ -1,17 +1,14 @@
 """Dataset-catalog tests with synthetic metadata trees (no real media)."""
 import csv
-import os
 from pathlib import Path
 
 import numpy as np
-import pytest
 
 from synchformer_tpu.data.datasets import (
     LRS3,
     VGGSound,
     VGGSoundSparse,
     fixed_offsets_fname,
-    load_fixed_offsets,
     subsample_dataset,
 )
 from synchformer_tpu.data.media import get_video_and_audio, synthetic_av

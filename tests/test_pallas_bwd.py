@@ -7,7 +7,6 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from synchformer_tpu.models.motionformer import DividedAttention, MotionFormerEncoder
-from synchformer_tpu.ops.pallas.divided_attention_bwd import divided_attention
 
 
 @pytest.mark.parametrize("mode", ["space", "time"])

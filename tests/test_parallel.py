@@ -14,8 +14,8 @@ from synchformer_tpu.parallel.mesh import (
     param_shardings,
     replicated,
 )
-from synchformer_tpu.train.state import SyncTrainState, make_lr_schedule, make_optimizer
-from synchformer_tpu.train.step import make_avclip_train_step, make_sync_train_step
+from synchformer_tpu.train.state import SyncTrainState, make_optimizer
+from synchformer_tpu.train.step import make_sync_train_step
 
 from tests.test_models import TINY_AUD, TINY_PROJ, TINY_TRANSFORMER, TINY_VIS, D
 

@@ -1,6 +1,5 @@
 """Input pipeline: sampler sharding semantics + loader batch contract."""
 import numpy as np
-import pytest
 
 from synchformer_tpu.data.datasets import SyntheticAV
 from synchformer_tpu.data.pipeline import EpochSampler, SyncDataLoader

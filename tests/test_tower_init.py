@@ -38,10 +38,9 @@ def test_sync_trainer_tower_init_from_stage1(tmp_path, rng):
     """SyncTrainer picks up tower ckpt_paths from the model config; loaded
     leaves replace the random init, missing leaves (aggregators trained only
     in Stage II) keep their init — the reference's non-strict load."""
-    import jax.numpy as jnp
-
+    
     from synchformer_tpu.train.stage_sync import SyncTrainer
-    from tests.test_trainer import TINY_CFG, TINY_MODEL_CFG
+    from tests.test_trainer import TINY_CFG
 
     ckpt_path = str(tmp_path / "stage1.pt")
     torch.save(_tiny_avclip_sd(rng), ckpt_path)

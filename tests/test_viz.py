@@ -2,7 +2,6 @@
 pure tone from its normalized log-mel (the reference's de-facto data-pipeline
 integration test, ref: utils/logger.py:162-242)."""
 import numpy as np
-import pytest
 
 from synchformer_tpu.ops.mel import MelSpectrogramConfig, log_mel_spectrogram
 from synchformer_tpu.utils.viz import (
@@ -11,7 +10,6 @@ from synchformer_tpu.utils.viz import (
     inverse_mel,
     plot_per_class_accuracy,
     plot_similarity_matrices,
-    reconstruct_audio_from_batch,
     save_input_reconstruction,
 )
 
