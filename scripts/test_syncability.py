@@ -75,7 +75,11 @@ def main():
     ds = VGGSoundSparsePickedCleanTest(
         "test", kv["vids_path"], splits_path=kv.get("splits_path", "./data"))
     pipe_cfg = SyncPipelineConfig(n_segments=14, for_syncability=True)
-    loader = SyncDataLoader(ds, pipe_cfg, batch_size, num_workers=6, shuffle=False)
+    # drop_last=False: evaluate the FULL filtered set — tail batches are
+    # wrap-padded and evaluate_syncability drops the duplicates via pad_mask
+    # (ref: scripts/test_syncability.py:213-238 evaluates every clip)
+    loader = SyncDataLoader(ds, pipe_cfg, batch_size, num_workers=6,
+                            shuffle=False, drop_last=False)
 
     out = evaluate_syncability(
         model_sync, params_sync, loader, make_eval_step(model_sync),

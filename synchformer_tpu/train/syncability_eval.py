@@ -89,20 +89,27 @@ def evaluate_syncability(model_sync, params_sync, loader, eval_step_sync,
     for it in range(iter_times):
         loader.set_epoch(it)
         for batch in loader:
+            # keep only real rows: the loader pads the tail batch by wrapping
+            # around (pad_mask=0 on duplicates) so jit shapes stay static; the
+            # reference evaluates the full filtered set
+            # (ref: scripts/test_syncability.py:213-238)
+            keep = np.asarray(batch.get(
+                "pad_mask", np.ones(len(batch["video"]), dtype=bool)))
             sync_batch = {"video": batch["video"][:, :n_segments_sync],
                           "audio": batch["audio"][:, :n_segments_sync]}
             logits_sync = np.asarray(eval_step_sync(params_sync, sync_batch))
-            results["logits_sync"].append(logits_sync)
-            results["targets_sync"].append(np.asarray(batch["sync_target"]))
+            results["logits_sync"].append(logits_sync[keep])
+            results["targets_sync"].append(np.asarray(batch["sync_target"])[keep])
             if tiered:
                 off_batch = {"video": batch["video"], "audio": batch["audio"]}
                 logits_off = np.asarray(eval_step_off(params_off, off_batch))
-                results["logits_off"].append(logits_off)
-                results["targets_off"].append(np.asarray(batch["offset_target"]))
+                results["logits_off"].append(logits_off[keep])
+                results["targets_off"].append(
+                    np.asarray(batch["offset_target"])[keep])
 
     logits_sync = np.concatenate(results["logits_sync"])
     targets_sync = np.concatenate(results["targets_sync"])
-    out: Dict = {}
+    out: Dict = {"n_evaluated": int(len(targets_sync))}
     out["roc"] = roc_outputs(logits_sync, targets_sync,
                              save_path=str(Path(logdir) / f"roc_{phase}.pkl"))
     out["metrics_sync"] = {

@@ -56,3 +56,76 @@ def test_tiered_threshold_masking(rng):
                                 conf_thresholds=(0.5, 0.99))
     assert out[0.5] is not None      # ~52% confidence passes 0.5
     assert out[0.99] is None         # nothing passes 0.99
+
+
+class _FakeTailLoader:
+    """Mimics SyncDataLoader with drop_last=False: 6 real clips at batch_size
+    4 -> 2 batches, the second wrap-padded with clips 0,1 (pad_mask=0)."""
+
+    def __init__(self, targets_sync, row_feat):
+        self.targets_sync = targets_sync          # (6,)
+        self.row_feat = row_feat                  # (6,) float id per clip
+        self.order = np.array([0, 1, 2, 3, 4, 5, 0, 1])
+        self.pad_mask = np.array([1, 1, 1, 1, 1, 1, 0, 0], dtype=bool)
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        for lo in (0, 4):
+            idx = self.order[lo:lo + 4]
+            yield {
+                "video": self.row_feat[idx].reshape(4, 1, 1, 1, 1, 1),
+                "audio": self.row_feat[idx].reshape(4, 1, 1),
+                "sync_target": self.targets_sync[idx],
+                "pad_mask": self.pad_mask[lo:lo + 4],
+            }
+
+
+def test_evaluate_syncability_tail_batch_counts_each_clip_once(rng, tmp_path):
+    """N_clips % batch_size != 0 must evaluate exactly N clips (the old CLI
+    dropped the tail batch; ref: scripts/test_syncability.py:213-238 keeps it)."""
+    from synchformer_tpu.train.metrics import calc_cls_metrics
+    from synchformer_tpu.train.syncability_eval import evaluate_syncability
+
+    targets = np.array([0, 1, 0, 1, 1, 0], dtype=np.int64)
+    feat = np.arange(6, dtype=np.float32)
+    loader = _FakeTailLoader(targets, feat)
+
+    def eval_step(params, batch):
+        # deterministic per-clip logits derived from the row id feature
+        r = np.asarray(batch["audio"]).reshape(4)
+        return np.stack([3.0 - r, r - 3.0 + 0.7], axis=-1).astype(np.float32)
+
+    out = evaluate_syncability(None, None, loader, eval_step,
+                               iter_times=2, n_segments_sync=1,
+                               logdir=str(tmp_path))
+    assert out["n_evaluated"] == 6 * 2  # all 6 clips, twice — no dup, no drop
+
+    # metrics must equal metrics computed on exactly the 6 real clips
+    r = feat
+    logits = np.stack([3.0 - r, r - 3.0 + 0.7], axis=-1).astype(np.float32)
+    logits2 = np.concatenate([logits, logits])
+    targets2 = np.concatenate([targets, targets])
+    want = {k: round(v, 4) for k, v in
+            calc_cls_metrics(targets2, logits2, topk=(1,), verbose=False).items()}
+    assert out["metrics_sync"] == want
+
+
+def test_loader_drop_last_false_pads_tail_with_mask():
+    from synchformer_tpu.data.datasets import SyntheticAV
+    from synchformer_tpu.data.pipeline import SyncDataLoader
+    from synchformer_tpu.data.transforms import SyncPipelineConfig
+
+    cfg = SyncPipelineConfig(n_segments=2, crop_len_sec=1.0, input_size=32,
+                             segment_size_vframes=4, audio_jitter_sec=0.0)
+    ds = SyntheticAV("test", n_clips=6)
+    loader = SyncDataLoader(ds, cfg, batch_size=4, num_workers=2, seed=0,
+                            shuffle=False, drop_last=False,
+                            decode_backend="synthetic")
+    batches = list(loader)
+    assert len(batches) == 2
+    np.testing.assert_array_equal(batches[0]["pad_mask"], [1, 1, 1, 1])
+    np.testing.assert_array_equal(batches[1]["pad_mask"], [1, 1, 0, 0])
+    # wrap-padding: padded rows duplicate the first clips
+    np.testing.assert_array_equal(batches[1]["index"][2:], batches[0]["index"][:2])
