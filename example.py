@@ -72,17 +72,36 @@ def main():
 
     from synchformer_tpu.data.media import available_backends, get_video_and_audio, reencode_video
     from synchformer_tpu.data.transforms import SyncPipelineConfig, make_class_grid, prepare_item
-    from synchformer_tpu.models.presets import build_synchformer
+    from synchformer_tpu.models.presets import (
+        build_synchformer,
+        build_synchformer_from_ckpt_args,
+    )
     from synchformer_tpu.ops.mel import MelSpectrogramConfig, log_mel_spectrogram
     from synchformer_tpu.ops.video import prepare_video_batch
-    from synchformer_tpu.utils.checkpoint import convert_sync_checkpoint, load_torch_checkpoint
+    from synchformer_tpu.utils.checkpoint import (
+        convert_sync_checkpoint,
+        load_torch_checkpoint,
+        plain_from_ckpt_args,
+    )
 
     ckpt_path = check_if_file_exists_else_download(f"{ckpt_dir}/{exp_name}.pt")
     ckpt = load_torch_checkpoint(ckpt_path)
-    params = convert_sync_checkpoint(ckpt, target_seq_len=198)
 
     dtype = jnp.float32 if fp32 else jnp.bfloat16
-    model = build_synchformer(n_segments=14, dtype=dtype)
+    # reconstruct the exact trained architecture from the cfg embedded in the
+    # checkpoint (ref: example.py:104-115 + patch_config); ckpts without args
+    # fall back to the full-size S=14 preset
+    args = plain_from_ckpt_args(ckpt.get("args")) if isinstance(ckpt, dict) else None
+    if isinstance(args, dict) and "model" in args:
+        model, info = build_synchformer_from_ckpt_args(args, dtype=dtype)
+        logging.info("model reconstructed from ckpt args "
+                     f"({args['model']['target']}, seq_len={info['target_seq_len']})")
+    else:
+        logging.info("no cfg embedded in ckpt; using the full-size S=14 preset")
+        model = build_synchformer(n_segments=14, dtype=dtype)
+        info = dict(target_seq_len=198, num_cls=21, max_off_sec=2.0,
+                    max_spec_t=66, num_mel_bins=128, data={})
+    params = convert_sync_checkpoint(ckpt, target_seq_len=info["target_seq_len"])
 
     video, audio, meta = get_video_and_audio(vid_path)
     v_fps = meta["video"]["fps"][0]
@@ -101,7 +120,16 @@ def main():
             logging.info("no ffmpeg; using in-framework resample/letterbox")
             video, audio = ingest_noncanonical(video, audio, v_fps, a_rate)
 
-    cfg = SyncPipelineConfig()
+    # pipeline knobs follow the checkpoint's data section (ref: example.py
+    # builds transforms from cfg.data); absent keys keep the S=14 defaults
+    data = info["data"]
+    pipe_kwargs = {k: data[k] for k in
+                   ("crop_len_sec", "max_off_sec", "step_size_seg",
+                    "segment_size_vframes", "n_segments", "input_size",
+                    "size_before_crop", "vfps", "afps")
+                   if data.get(k) is not None}
+    pipe_kwargs["num_off_cls"] = info["num_cls"]
+    cfg = SyncPipelineConfig(**pipe_kwargs)
     item = prepare_item(video, audio, cfg, np.random.default_rng(0), split="test",
                         fixed_offset_sec=offset_sec,
                         fixed_v_start_sec=v_start_i_sec)
@@ -109,14 +137,17 @@ def main():
     @jax.jit
     def infer(params, video_u8, pcm):
         vis = prepare_video_batch(video_u8[None], train=False, dtype=dtype)
-        mel = log_mel_spectrogram(pcm[None], MelSpectrogramConfig())
+        mel = log_mel_spectrogram(
+            pcm[None], MelSpectrogramConfig(max_spec_t=info["max_spec_t"],
+                                            n_mels=info["num_mel_bins"]))
         aud = jnp.swapaxes(mel, -1, -2).astype(dtype)
         _, logits = model.apply({"params": params}, vis, aud)
         return logits[0].astype(jnp.float32)
 
     logits = np.asarray(infer(params, jnp.asarray(item["video"]),
                               jnp.asarray(item["audio"])))
-    grid = make_class_grid(-2.0, 2.0, 21)
+    grid = make_class_grid(-info["max_off_sec"], info["max_off_sec"],
+                           info["num_cls"])
     print(f"using offset={offset_sec} v_start={v_start_i_sec} "
           f"(target class {int(item['offset_target'])})")
     decode_single_video_prediction(logits, grid)

@@ -130,3 +130,104 @@ def build_avclip(n_segments_train: int = 14, dtype=jnp.float32,
 def sync_input_shapes(batch: int = 1, n_segments: int = 14):
     """(vis, aud) shapes for the sync model at full size."""
     return ((batch, n_segments, 16, 224, 224, 3), (batch, n_segments, 66, 128))
+
+
+# ---------------------------------------------------------------------------
+# model reconstruction from the cfg stored inside a checkpoint
+# ---------------------------------------------------------------------------
+
+def patch_ckpt_model_cfg(model_cfg: dict) -> dict:
+    """The reference's patch_config (ref: example.py:76-84): tower ckpt_paths
+    are already merged into the model checkpoint, and legacy configs name the
+    transformer under ``model.modules.feature_selector``."""
+    import copy
+
+    cfg = copy.deepcopy(model_cfg)
+    params = cfg.get("params", {})
+    for tower in ("afeat_extractor", "vfeat_extractor"):
+        tp = (params.get(tower) or {}).get("params")
+        if isinstance(tp, dict) and "ckpt_path" in tp:
+            tp["ckpt_path"] = None
+    tfm = params.get("transformer")
+    if isinstance(tfm, dict) and isinstance(tfm.get("target"), str):
+        tfm["target"] = tfm["target"].replace(
+            ".modules.feature_selector.", ".sync_model.")
+    return cfg
+
+
+def _inject_tpu_kwargs(node, dtype, attn_impl):
+    """Recursively add dtype/attn_impl to target/params nodes whose resolved
+    class declares those fields; unknown params (keys from other reference
+    code versions) are dropped with a warning instead of crashing."""
+    import dataclasses
+    import logging
+
+    from synchformer_tpu.registry import get_registered
+
+    if not isinstance(node, dict):
+        return node
+    if "target" not in node:
+        return {k: _inject_tpu_kwargs(v, dtype, attn_impl)
+                for k, v in node.items()}
+    out = {k: v for k, v in node.items() if k != "params"}
+    params = {k: _inject_tpu_kwargs(v, dtype, attn_impl)
+              for k, v in (node.get("params") or {}).items()}
+    try:
+        cls = get_registered(node["target"])
+    except KeyError:
+        out["params"] = params
+        return out
+    if dataclasses.is_dataclass(cls):
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = sorted(k for k in params if k not in names)
+        if unknown:
+            logging.warning("%s: dropping unsupported cfg params %s",
+                            node["target"], unknown)
+            params = {k: v for k, v in params.items() if k not in unknown}
+        if "dtype" in names:
+            params.setdefault("dtype", dtype)
+        if "attn_impl" in names and attn_impl is not None:
+            params.setdefault("attn_impl", attn_impl)
+    out["params"] = params
+    return out
+
+
+def build_synchformer_from_ckpt_args(args, dtype=jnp.float32,
+                                     attn_impl: Optional[str] = None):
+    """Reconstruct the sync model from the training config stored inside a
+    checkpoint (``ckpt['args']``; the reference instantiates from the shipped
+    cfg-<exp>.yaml which holds the same tree, ref: example.py:104-115).
+
+    Returns ``(model, info)`` — info carries ``target_seq_len`` (pos-emb
+    length for checkpoint conversion/trim), ``num_cls``, ``max_off_sec`` and
+    the raw ``data`` section for pipeline reconstruction.
+    """
+    from synchformer_tpu.config.core import Config
+    from synchformer_tpu.registry import instantiate_from_config
+
+    if attn_impl is None:
+        attn_impl = default_attn_impl()
+    cfg = args.to_dict() if isinstance(args, Config) else Config(args).to_dict()
+    if "model" not in cfg or "target" not in cfg.get("model", {}):
+        raise ValueError("checkpoint args carry no model.target section")
+    model_cfg = patch_ckpt_model_cfg(cfg["model"])
+    model_cfg = _inject_tpu_kwargs(model_cfg, dtype, attn_impl)
+    model = instantiate_from_config(model_cfg)
+
+    tfm_p = (model_cfg.get("params", {}).get("transformer") or {}).get("params", {})
+    pos_p = (tfm_p.get("pos_emb_cfg") or {}).get("params", {})
+    block_shape = pos_p.get("block_shape") or [None]
+    off_p = (tfm_p.get("off_head_cfg") or {}).get("params", {})
+    afeat_p = (model_cfg.get("params", {}).get("afeat_extractor") or {}).get(
+        "params", {})
+    data = cfg.get("data", {}) or {}
+    info = dict(
+        target_seq_len=block_shape[0],
+        num_cls=int(off_p.get("out_features")
+                    or data.get("num_off_cls") or N_OFFSET_CLS),
+        max_off_sec=float(data.get("max_off_sec") or 2.0),
+        max_spec_t=int(afeat_p.get("max_spec_t") or 66),
+        num_mel_bins=int(afeat_p.get("num_mel_bins") or 128),
+        data=data,
+    )
+    return model, info

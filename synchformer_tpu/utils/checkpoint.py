@@ -385,14 +385,79 @@ def merge_params_nonstrict(init_params: Mapping, loaded: Mapping,
     return merged, report
 
 
+_STUB_CACHE: Dict = {}
+
+
+def _make_stub(module: str, name: str):
+    """A shape-only stand-in for an unimportable pickled class: captures the
+    pickled state so plain_from_ckpt_args can walk it."""
+    cls = _STUB_CACHE.get((module, name))
+    if cls is None:
+        def _setstate(self, state):
+            self.__dict__.update(state if isinstance(state, dict)
+                                 else {"_state": state})
+
+        cls = type(name, (), {"__module__": module, "__setstate__": _setstate})
+        _STUB_CACHE[(module, name)] = cls
+    return cls
+
+
 def load_torch_checkpoint(path: str) -> Dict:
-    """torch.load a reference .pt/.pyth file (CPU, weights only when possible)."""
+    """torch.load a reference .pt/.pyth file (CPU, weights only when possible).
+
+    Published reference checkpoints embed their training config as a pickled
+    omegaconf DictConfig under ``ckpt['args']`` (ref: train_utils.py:253).
+    omegaconf is not a dependency here, so the weights_only=False fallback
+    unpickles unimportable ``omegaconf.*`` classes into inert stubs;
+    plain_from_ckpt_args recovers the config dict from them.
+    """
+    import pickle
+
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
-        return torch.load(path, map_location="cpu", weights_only=False)
+        pass
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                if module.split(".")[0] == "omegaconf":
+                    return _make_stub(module, name)
+                raise
+
+    class _PickleModule:
+        Unpickler = _Unpickler
+        load = staticmethod(pickle.load)
+
+    return torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=_PickleModule)
+
+
+def plain_from_ckpt_args(obj) -> Any:
+    """Best-effort ``ckpt['args']`` -> plain python containers.
+
+    Handles plain dicts (framework-native ckpts) and pickled omegaconf
+    DictConfig/ListConfig/ValueNode trees (reference ckpts, unpickled as stubs
+    by load_torch_checkpoint): containers keep ``_content``, value nodes keep
+    ``_val``; omegaconf's mandatory-missing marker '???' maps to None.
+    """
+    if isinstance(obj, Mapping):
+        return {k: plain_from_ckpt_args(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [plain_from_ckpt_args(v) for v in obj]
+    d = getattr(obj, "__dict__", None)
+    if isinstance(d, dict):
+        if "_content" in d:
+            return plain_from_ckpt_args(d["_content"])
+        if "_val" in d:
+            return plain_from_ckpt_args(d["_val"])
+    if isinstance(obj, str) and obj == "???":
+        return None
+    return obj
 
 
 # ---------------------------------------------------------------------------
