@@ -157,6 +157,47 @@ class SyncDataLoader:
             stop.set()
 
 
+def measure_pipeline_throughput(loader, consume, epochs: int = 1,
+                                sync=None) -> Dict[str, float]:
+    """Drive ``loader -> consume`` overlapped and measure sustained
+    throughput + the host/device occupancy split.
+
+    ``consume(batch)`` should DISPATCH device work asynchronously (device_put
+    + jitted step) and return immediately; ``sync()`` must block until all
+    dispatched work finished (on the axon platform: np.asarray of a reduced
+    scalar — block_until_ready does not wait there).
+
+    Returns clips_per_sec (sustained, includes decode+geometry+H2D+compute),
+    host_wait_frac (fraction of wall-clock spent waiting on the loader — the
+    decode wall when close to 1), and total_s. The north star is sustained
+    clips/s ≈ the device-only number, i.e. the host pipeline keeps the chip
+    fed (SURVEY §7 hard part 4; the reference's equivalent knob stack is the
+    torch DataLoader worker count, ref: scripts/train_utils.py:107-182)."""
+    import time
+
+    total_clips = 0
+    wait_host = 0.0
+    t0 = time.perf_counter()
+    for ep in range(epochs):
+        loader.set_epoch(ep)
+        it = iter(loader)
+        while True:
+            t_w = time.perf_counter()
+            batch = next(it, None)
+            wait_host += time.perf_counter() - t_w
+            if batch is None:
+                break
+            consume(batch)
+            total_clips += int(batch.get("pad_mask",
+                                         np.ones(len(batch["video"]))).sum())
+    if sync is not None:
+        sync()
+    total = time.perf_counter() - t0
+    return {"clips_per_sec": total_clips / total,
+            "host_wait_frac": wait_host / total,
+            "clips": total_clips, "total_s": total}
+
+
 def batch_to_device(batch: Dict[str, np.ndarray], sharding=None) -> Dict:
     """Stage a host batch onto device(s) (sharded on the data axis when a
     sharding is given) — the H2D boundary (ref: train_utils.py:359-371)."""

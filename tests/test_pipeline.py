@@ -55,3 +55,36 @@ def test_loader_eval_split_deterministic():
     b2 = next(iter(loader))
     np.testing.assert_array_equal(b1["video"], b2["video"])
     np.testing.assert_array_equal(b1["offset_target"], b2["offset_target"])
+
+
+def test_measure_pipeline_throughput_overlap():
+    """Loader-overlap accounting (bench.py --pipeline): every real clip is
+    counted once, and with a slow consumer the prefetching loader overlaps
+    production so the run is consumer-bound (low host-wait fraction)."""
+    import time
+
+    from synchformer_tpu.data.pipeline import measure_pipeline_throughput
+
+    cfg = SyncPipelineConfig(n_segments=2, crop_len_sec=1.0, input_size=32,
+                             segment_size_vframes=4, audio_jitter_sec=0.0)
+    ds = SyntheticAV("test", n_clips=6)
+    loader = SyncDataLoader(ds, cfg, batch_size=4, num_workers=2, seed=0,
+                            shuffle=False, drop_last=False,
+                            decode_backend="synthetic")
+    # warm pass: populate the synthetic decode cache (the bench does the same)
+    for _ in loader:
+        pass
+
+    seen = []
+
+    def consume(batch):
+        time.sleep(0.15)  # a consumer slower than the (cached) producer
+        seen.append(int(batch["pad_mask"].sum()))
+
+    stats = measure_pipeline_throughput(loader, consume, epochs=2)
+    assert stats["clips"] == 12            # 6 real clips x 2 epochs, no dups
+    assert sum(seen) == 12
+    assert 0.0 <= stats["host_wait_frac"] <= 1.0
+    assert stats["clips_per_sec"] > 0
+    # consumer-bound: the loader produced batches while consume slept
+    assert stats["host_wait_frac"] < 0.6
