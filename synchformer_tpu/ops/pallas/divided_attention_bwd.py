@@ -503,23 +503,43 @@ def _divided_attention_bwd_4d(qkv_p, qkv_c, dop, doc, num_heads: int,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def divided_attention(qkv, num_heads: int, num_frames: int, mode: str):
-    """Differentiable fused divided attention: pallas forward AND backward."""
+def _divided_attention_vjp(qkv, num_heads: int, num_frames: int, mode: str):
     return divided_attention_pallas(qkv, num_heads, num_frames, mode)
 
 
+def divided_attention(qkv, num_heads: int, num_frames: int, mode: str):
+    """Differentiable fused divided attention: pallas forward AND backward.
+    Under an active data mesh the kernel runs per data shard via shard_map
+    (pallas custom calls have no SPMD partitioning rule — see
+    parallel/mesh.py::data_sharded_kernel)."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda q: _divided_attention_vjp(q, num_heads, num_frames, mode),
+        batched=(0,))(qkv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def divided_attention_split(qkv_patches, qkv_cls, num_heads: int, mode: str):
-    """Differentiable split-layout divided attention (the fastest forward):
-    qkv_patches (B, f, n, 3D) + qkv_cls (B, 1, 3D) -> (patches (B, f, n, D),
-    cls (B, 1, D)). Backward runs the 4D split-layout kernels directly when
-    the head layout is 128-lane aligned (no packed-layout conversion copies);
-    otherwise it converts to the packed layout and reuses the v1 kernels."""
+def _divided_attention_split_vjp(qkv_patches, qkv_cls, num_heads: int, mode: str):
     from synchformer_tpu.ops.pallas.divided_attention import (
         divided_attention_pallas_4d,
     )
 
     return divided_attention_pallas_4d(qkv_patches, qkv_cls, num_heads, mode)
+
+
+def divided_attention_split(qkv_patches, qkv_cls, num_heads: int, mode: str):
+    """Differentiable split-layout divided attention (the fastest forward):
+    qkv_patches (B, f, n, 3D) + qkv_cls (B, 1, 3D) -> (patches (B, f, n, D),
+    cls (B, 1, D)). Backward runs the 4D split-layout kernels directly when
+    the head layout is 128-lane aligned (no packed-layout conversion copies);
+    otherwise it converts to the packed layout and reuses the v1 kernels.
+    Runs per data shard under an active data mesh (see divided_attention)."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda qp, qc: _divided_attention_split_vjp(qp, qc, num_heads, mode),
+        batched=(0, 1), n_out=2)(qkv_patches, qkv_cls)
 
 
 def _fwd_split(qkv_patches, qkv_cls, num_heads, mode):
@@ -546,7 +566,7 @@ def _bwd_split(num_heads, mode, res, g):
     return dqkv[:, 1:].reshape(b, f, n, threed), dqkv[:, :1]
 
 
-divided_attention_split.defvjp(_fwd_split, _bwd_split)
+_divided_attention_split_vjp.defvjp(_fwd_split, _bwd_split)
 
 
 def _fwd(qkv, num_heads, num_frames, mode):
@@ -557,4 +577,4 @@ def _bwd(num_heads, num_frames, mode, qkv, g):
     return (_divided_attention_bwd_pallas(qkv, g, num_heads, num_frames, mode),)
 
 
-divided_attention.defvjp(_fwd, _bwd)
+_divided_attention_vjp.defvjp(_fwd, _bwd)

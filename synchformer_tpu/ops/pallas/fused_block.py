@@ -209,6 +209,13 @@ def _fused_attention_ref(x, ln_scale, ln_bias, w_qkv, b_qkv,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_divided_attention_vjp(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                 num_heads: int, num_frames: int, mode: str,
+                                 eps: float = 1e-6):
+    return _fused_attention_pallas(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                   num_heads, num_frames, mode, eps)
+
+
 def fused_divided_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
                             num_heads: int, num_frames: int, mode: str,
                             eps: float = 1e-6):
@@ -216,9 +223,15 @@ def fused_divided_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
 
     x: (B, N, D) raw block input (PRE-norm); ln_scale/ln_bias: (D,);
     w_qkv: (D, 3D); b_qkv: (3D,). Returns (B, N, D) attention outputs ready
-    for the output projection (residual NOT added)."""
-    return _fused_attention_pallas(x, ln_scale, ln_bias, w_qkv, b_qkv,
-                                   num_heads, num_frames, mode, eps)
+    for the output projection (residual NOT added). Runs per data shard
+    under an active data mesh (parallel/mesh.py::data_sharded_kernel)."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda *a: _fused_divided_attention_vjp(
+            *a, num_heads=num_heads, num_frames=num_frames, mode=mode, eps=eps),
+        batched=(0,), replicated=(1, 2, 3, 4))(x, ln_scale, ln_bias,
+                                               w_qkv, b_qkv)
 
 
 def _fused_attn_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv,
@@ -238,7 +251,7 @@ def _fused_attn_bwd(num_heads, num_frames, mode, eps, res, g):
     return vjp(g)
 
 
-fused_divided_attention.defvjp(_fused_attn_fwd, _fused_attn_bwd)
+_fused_divided_attention_vjp.defvjp(_fused_attn_fwd, _fused_attn_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -290,10 +303,20 @@ def _fused_mlp_ref(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float = 1e-6):
+    return _fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+
+
 def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float = 1e-6):
     """x + fc2(exact_gelu(fc1(LN(x)))) in one pallas kernel (no dropout —
-    callers gate on the dropout-inactive/deterministic path)."""
-    return _fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+    callers gate on the dropout-inactive/deterministic path). Runs per data
+    shard under an active data mesh (parallel/mesh.py::data_sharded_kernel)."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda *a: _fused_mlp_vjp(*a, eps=eps),
+        batched=(0,), replicated=(1, 2, 3, 4, 5, 6))(x, ln_scale, ln_bias,
+                                                     w1, b1, w2, b2)
 
 
 def _fused_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
@@ -306,4 +329,4 @@ def _fused_mlp_bwd(eps, res, g):
     return vjp(g)
 
 
-fused_mlp_residual.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+_fused_mlp_vjp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

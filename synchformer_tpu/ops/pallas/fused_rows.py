@@ -97,10 +97,19 @@ def _ln_matmul_ref(x, g, b, w, bias, eps: float):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_ln_matmul_vjp(x, g, b, w, bias, eps: float = 1e-6):
+    return _ln_matmul_pallas(x, g, b, w, bias, eps)
+
+
 def fused_ln_matmul(x, g, b, w, bias, eps: float = 1e-6):
     """dense(LayerNorm(x)) with the normalized activations never leaving
-    VMEM. Row-chunked grid; weights resident across programs."""
-    return _ln_matmul_pallas(x, g, b, w, bias, eps)
+    VMEM. Row-chunked grid; weights resident across programs. Runs per data
+    shard under an active data mesh (parallel/mesh.py::data_sharded_kernel)."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda *a: _fused_ln_matmul_vjp(*a, eps=eps),
+        batched=(0,), replicated=(1, 2, 3, 4))(x, g, b, w, bias)
 
 
 def _ln_matmul_fwd(x, g, b, w, bias, eps):
@@ -112,7 +121,7 @@ def _ln_matmul_bwd(eps, res, grad):
     return vjp(grad)
 
 
-fused_ln_matmul.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
+_fused_ln_matmul_vjp.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -230,10 +239,19 @@ def _ln_mlp_ref(x, g, b, w1, b1, w2, b2, eps: float):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_ln_mlp_vjp(x, g, b, w1, b1, w2, b2, eps: float = 1e-6):
+    return _ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps)
+
+
 def fused_ln_mlp_residual(x, g, b, w1, b1, w2, b2, eps: float = 1e-6):
     """x + fc2(gelu(fc1(LN(x)))) — one HBM read + one write of x. Deterministic
-    path only (no dropout); callers gate on stochastic."""
-    return _ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps)
+    path only (no dropout); callers gate on stochastic. Runs per data shard
+    under an active data mesh (parallel/mesh.py::data_sharded_kernel)."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda *a: _fused_ln_mlp_vjp(*a, eps=eps),
+        batched=(0,), replicated=(1, 2, 3, 4, 5, 6))(x, g, b, w1, b1, w2, b2)
 
 
 def _ln_mlp_fwd(x, g, b, w1, b1, w2, b2, eps):
@@ -246,4 +264,4 @@ def _ln_mlp_bwd(eps, res, grad):
     return vjp(grad)
 
 
-fused_ln_mlp_residual.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
+_fused_ln_mlp_vjp.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)

@@ -100,8 +100,7 @@ def standard_attention_ref(qkv, num_heads: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def standard_attention(qkv, num_heads: int):
-    """Fused full attention over packed (B, N, 3D) qkv -> (B, N, D)."""
+def _standard_attention_vjp(qkv, num_heads: int):
     return _standard_attention_pallas(qkv, num_heads)
 
 
@@ -114,4 +113,14 @@ def _bwd(num_heads, qkv, g):
     return vjp(g)
 
 
-standard_attention.defvjp(_fwd, _bwd)
+_standard_attention_vjp.defvjp(_fwd, _bwd)
+
+
+def standard_attention(qkv, num_heads: int):
+    """Fused full attention over packed (B, N, 3D) qkv -> (B, N, D).
+    Runs per data shard under an active data mesh (pallas custom calls have
+    no SPMD partitioning rule — parallel/mesh.py::data_sharded_kernel)."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda q: _standard_attention_vjp(q, num_heads), batched=(0,))(qkv)

@@ -73,6 +73,70 @@ def commit_to_mesh(tree, mesh: Mesh):
     return jax.tree.map(put, tree)
 
 
+# ---------------------------------------------------------------------------
+# pallas kernels under SPMD
+# ---------------------------------------------------------------------------
+#
+# XLA's SPMD partitioner has no partitioning rule for pallas custom calls
+# (and rejects their interpret-mode io_callbacks outright: "side-effect HLO
+# cannot have a replicated sharding"). The kernels are batch-leading and
+# reduction-free across the batch, so under a >1-device 'data' axis each
+# shard simply runs its own kernel via shard_map — semantics identical, and
+# the VJP composes (replicated weight args get their cotangent psum exactly
+# like the XLA path's DP gradient).
+
+_ACTIVE_DATA_MESH: Optional[Mesh] = None
+
+
+def set_active_data_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the mesh whose 'data' axis pallas entry points shard over.
+
+    Trainers and the multichip dryrun call this right after make_mesh; a
+    1-device data axis (the single-chip bench) deactivates the wrapper.
+    Kernel batch dims must divide the data-axis size — the trainers already
+    assert batch_size %% n_data == 0."""
+    global _ACTIVE_DATA_MESH
+    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+        _ACTIVE_DATA_MESH = mesh
+    else:
+        _ACTIVE_DATA_MESH = None
+
+
+def active_data_mesh() -> Optional[Mesh]:
+    return _ACTIVE_DATA_MESH
+
+
+def data_sharded_kernel(fn, batched, replicated=(), n_out: int = 1):
+    """Call ``fn(*arrays)`` per data shard when a data mesh is active.
+
+    ``batched``/``replicated`` are positional indices of fn's array arguments
+    (batch-leading vs broadcast weights); all other arguments must be static
+    python values closed over by the caller. Identity without an active mesh.
+    """
+
+    def call(*args, **kwargs):
+        mesh = _ACTIVE_DATA_MESH
+        if mesh is None:
+            return fn(*args, **kwargs)
+        arr_idx = sorted(tuple(batched) + tuple(replicated))
+
+        def inner(*shard_arrays):
+            full = list(args)
+            for j, i in enumerate(arr_idx):
+                full[i] = shard_arrays[j]
+            return fn(*full, **kwargs)
+
+        in_specs = tuple(P(DATA_AXIS) if i in batched else P()
+                         for i in arr_idx)
+        out_specs = (P(DATA_AXIS) if n_out == 1
+                     else tuple(P(DATA_AXIS) for _ in range(n_out)))
+        return jax.shard_map(inner, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(
+            *[args[i] for i in arr_idx])
+
+    return call
+
+
 # parameters whose output-feature dim is safe to shard over 'model':
 # QKV/proj/MLP kernels of every tower and the sync transformer
 _TP_SHARDABLE = re.compile(

@@ -28,3 +28,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_active_data_mesh():
+    """Trainers/dryrun set the pallas data-mesh global; don't leak it into
+    unsharded single-device kernel tests."""
+    yield
+    from synchformer_tpu.parallel import mesh
+
+    mesh.set_active_data_mesh(None)

@@ -1,5 +1,4 @@
-"""Row-chunked fused kernels (ops/pallas/fused_rows.py) and the pair-slab
-attention pipeline (ops/pallas/divided_attention_v2.py): interpret-mode
+"""Row-chunked fused kernels (ops/pallas/fused_rows.py): interpret-mode
 equality against the XLA compositions, including the custom-VJP gradients.
 
 ref: the fused ops reproduce motionformer_src/vit_helper.py:332-376 block
@@ -10,18 +9,6 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
-from synchformer_tpu.ops.pallas.divided_attention import divided_attention_pallas
-from synchformer_tpu.ops.pallas.divided_attention_bwd import (
-    divided_attention as divided_attention_v1_vjp,
-)
-from synchformer_tpu.ops.pallas.divided_attention_v2 import (
-    divided_attention_slabs,
-    divided_attention_v2,
-    fused_ln_qkv_slabs,
-    lane_group_width,
-    qkv_slabs_ref,
-    slabs_to_packed,
-)
 from synchformer_tpu.ops.pallas.fused_block import dense, layer_norm
 from synchformer_tpu.ops.pallas.fused_rows import (
     _ln_mlp_ref,
@@ -103,51 +90,6 @@ def test_fused_ln_mlp_slab_path_matches_ref(rng):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
-
-
-@pytest.mark.parametrize("mode", ["time", "space"])
-def test_slab_pipeline_matches_v1(rng, mode):
-    b, f, n, heads, dh = 8, 4, 48, 4, 64
-    seq, d = 1 + f * n, heads * dh
-    w = lane_group_width(heads, dh)
-    x = jnp.asarray(rng.standard_normal((b, seq, d)).astype(np.float32))
-    g, lb = _ln_params(rng, d)
-    wq = jnp.asarray((rng.standard_normal((d, 3 * d)) / 16).astype(np.float32))
-    bq = jnp.asarray(0.02 * rng.standard_normal(3 * d).astype(np.float32))
-
-    ln = layer_norm(x, g, lb, 1e-6, x.dtype)
-    qkv = dense(ln, wq, bq, x.dtype)
-    with pltpu.force_tpu_interpret_mode():
-        ref_attn = divided_attention_pallas(qkv, heads, f, mode)
-        slabs = fused_ln_qkv_slabs(x, g, lb, wq, bq, w)
-        out = divided_attention_slabs(slabs, b, dh, f, mode)
-    np.testing.assert_allclose(
-        np.asarray(slabs), np.asarray(qkv_slabs_ref(x, g, lb, wq, bq, w)),
-        rtol=1e-4, atol=1e-4)
-    # (P, B, N, W) pair-major -> (B, N, D) standard head-major
-    o = np.asarray(out).transpose(1, 2, 0, 3).reshape(b, seq, d)
-    np.testing.assert_allclose(o, np.asarray(ref_attn), rtol=1e-4, atol=1e-4)
-
-
-def test_slab_vjp_matches_v1_vjp(rng):
-    b, f, n, heads, dh = 8, 4, 48, 4, 64
-    seq, d = 1 + f * n, heads * dh
-    w = lane_group_width(heads, dh)
-    slabs = jnp.asarray(
-        rng.standard_normal((d // w, b * seq, 3 * w)).astype(np.float32))
-
-    def loss_v2(s):
-        return jnp.sum(divided_attention_v2(s, b, dh, f, "space") ** 2)
-
-    def loss_v1(s):
-        qkv = slabs_to_packed(s, d).reshape(b, seq, 3 * d)
-        return jnp.sum(divided_attention_v1_vjp(qkv, heads, f, "space") ** 2)
-
-    with pltpu.force_tpu_interpret_mode():
-        g2 = jax.grad(loss_v2)(slabs)
-        g1 = jax.grad(loss_v1)(slabs)
-    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
-                               rtol=1e-4, atol=1e-4)
 
 
 def test_motionformer_split_flow_matches_xla(rng):

@@ -134,3 +134,64 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_pallas_step_under_sharded_mesh_matches_xla(rng):
+    """The pallas kernels (custom VJP) composed with the data-sharded jitted
+    train step — the exact combination pod-scale Stage-I training uses — give
+    the same updated params as the XLA attention path. Towers are put in the
+    trainable set so the pallas BACKWARD kernels run under the mesh."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from synchformer_tpu.parallel.mesh import set_active_data_mesh
+
+    mesh = make_mesh()  # every device on 'data'
+    set_active_data_mesh(mesh)  # pallas entry points shard_map over 'data'
+    batch_host = _batch(rng, 8)
+
+    def tiny(attn_impl):
+        aud = dict(TINY_AUD, params=dict(TINY_AUD["params"], attn_impl=attn_impl))
+        vis = dict(TINY_VIS, params=dict(TINY_VIS["params"], attn_impl=attn_impl))
+        return Synchformer(afeat_extractor=aud, vfeat_extractor=vis,
+                           aproj=TINY_PROJ, vproj=TINY_PROJ,
+                           transformer=TINY_TRANSFORMER)
+
+    model_x, model_p = tiny("xla"), tiny("pallas")
+    params = model_x.init(jax.random.PRNGKey(0),
+                          batch_host["vis"], batch_host["aud"])["params"]
+    shardings = param_shardings(params, mesh)
+    params = jax.tree.map(jax.device_put, params, shardings)
+    bs = batch_sharding(mesh)
+    batch = {k: jax.device_put(v, bs) for k, v in batch_host.items()}
+    step_rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
+
+    # sgd lr=1: updated params expose the (psum'd) gradients directly
+    tx = make_optimizer("sgd", lr=1.0, max_clip_norm=None)
+    all_keys = tuple(params.keys())  # towers trainable -> pallas bwd runs
+
+    def run(model):
+        state = SyncTrainState.create(params, tx, trainable_keys=all_keys)
+        step = make_sync_train_step(model, donate=False,
+                                    extractors_deterministic=True)
+        new_state, metrics = step(state, batch, step_rng)
+        assert bool(metrics["loss_finite"])
+        return jax.tree.map(np.asarray, new_state.trainable)
+
+    got_x = run(model_x)
+    with pltpu.force_tpu_interpret_mode():
+        got_p = run(model_p)
+
+    for (path, px), (_, pp) in zip(
+            jax.tree_util.tree_leaves_with_path(got_x),
+            jax.tree_util.tree_leaves_with_path(got_p)):
+        np.testing.assert_allclose(pp, px, rtol=1e-3, atol=1e-4,
+                                   err_msg=str(path))
+
+
+def test_dryrun_multichip_pallas_entry():
+    """__graft_entry__.dryrun_multichip with the pallas attention path: the
+    full train step (pallas fwd + custom-VJP bwd in interpret mode) compiles
+    and executes one step on the 8-device mesh."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8, attn_impl="pallas")
