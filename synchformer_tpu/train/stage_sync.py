@@ -31,6 +31,7 @@ from synchformer_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
     replicated,
+    set_active_data_mesh,
 )
 from synchformer_tpu.registry import instantiate_from_config
 from synchformer_tpu.train.metrics import calc_cls_metrics, gather_dict, per_class_accuracy
@@ -48,14 +49,24 @@ from synchformer_tpu.utils.logger import EarlyStopper, ExperimentLogger, Meter
 def _device_preprocess(batch: Dict[str, jnp.ndarray], train: bool, rng=None,
                        mel_cfg: MelSpectrogramConfig = MelSpectrogramConfig(),
                        p_flip: float = 0.5, p_color_jitter: float = 0.0,
-                       p_gray_scale: float = 0.0, dtype=jnp.float32):
+                       p_gray_scale: float = 0.0, p_audio_aug: float = 0.0,
+                       afps: int = 16_000, dtype=jnp.float32):
     """uint8 frames + raw PCM -> normalized model inputs (fused into the jit
     step: the reference does all of this per CPU worker)."""
     vis = prepare_video_batch(batch["video"], rng=rng, train=train,
                               p_horizontal_flip=p_flip,
                               p_color_jitter=p_color_jitter,
                               p_gray_scale=p_gray_scale, dtype=dtype)
-    mel = log_mel_spectrogram(batch["audio"], mel_cfg)       # (B, S, 128, T)
+    pcm = batch["audio"]
+    if train and rng is not None and p_audio_aug > 0:
+        # the five AudioRandom* train-time augs at p=${data.p_audio_aug}
+        # (ref: configs/sync.yaml:151-169; shipped configs run p=0, which
+        # skips this branch at trace time — bit-identical to no hook)
+        from synchformer_tpu.ops.dsp import random_audio_aug_chain
+
+        pcm = random_audio_aug_chain(pcm, jax.random.fold_in(rng, 7),
+                                     p_audio_aug, afps)
+    mel = log_mel_spectrogram(pcm, mel_cfg)                  # (B, S, 128, T)
     aud = jnp.swapaxes(mel, -1, -2).astype(dtype)            # (B, S, T, 128)
     return vis, aud
 
@@ -77,6 +88,8 @@ class SyncTrainer:
         # mesh: all devices on 'data' unless model parallelism is requested
         n_model = int(training.get("model_parallel", 1))
         self.mesh = make_mesh(n_model=n_model)
+        # pallas entry points shard_map over this mesh's 'data' axis
+        set_active_data_mesh(self.mesh)
         n_data = self.mesh.shape["data"]
         assert self.batch_size % n_data == 0, \
             f"batch_size {self.batch_size} must divide over data-parallel size {n_data}"
@@ -93,6 +106,21 @@ class SyncTrainer:
         self.target_key = "sync_target" if syncability else "offset_target"
         self.num_cls = 2 if syncability else int(data.get("num_off_cls", 21))
 
+        # trainable subtrees follow the config's is_trainable flags
+        # (ref: configs/sync.yaml:7,19 + scripts/train_utils.py:195-214 —
+        # default: frozen towers, trainable projections + transformer)
+        model_params = cfg.get("model", {}).get("params", {})
+        trainable_keys = list(SYNC_TRAINABLE_KEYS)
+        for tower_cfg_key, enc_key in (("afeat_extractor", "a_encoder"),
+                                       ("vfeat_extractor", "v_encoder")):
+            if model_params.get(tower_cfg_key, {}).get("is_trainable"):
+                trainable_keys.append(enc_key)
+        self.trainable_keys = tuple(trainable_keys)
+        self.towers_trainable = ("a_encoder" in self.trainable_keys
+                                 or "v_encoder" in self.trainable_keys)
+        if self.towers_trainable:
+            logging.info(f"trainable subtrees (from cfg): {self.trainable_keys}")
+
         # pipeline
         self.pipe_cfg = SyncPipelineConfig(
             n_segments=n_segments,
@@ -104,6 +132,7 @@ class SyncTrainer:
             segment_size_vframes=int(data.get("segment_size_vframes", 16)),
             audio_jitter_sec=float(data.get("audio_jitter_sec", 0.05)),
             sometimes_upscale_p=float(data.get("sometimes_upscale_p") or 0.0),
+            p_audio_aug=float(data.get("p_audio_aug") or 0.0),
             p_horizontal_flip=float(data.get("p_horizontal_flip", 0.5)),
             p_color_jitter=float(data.get("p_color_jitter", 0.0)),
             p_gray_scale=float(data.get("p_gray_scale", 0.0)),
@@ -167,34 +196,48 @@ class SyncTrainer:
             params = pretrained_params
         shardings = param_shardings(params, self.mesh)
         params = jax.tree.map(jax.device_put, params, shardings)
-        return SyncTrainState.create(params, self.tx, SYNC_TRAINABLE_KEYS)
+        return SyncTrainState.create(params, self.tx, self.trainable_keys)
 
     def _maybe_init_towers_from_ckpts(self, params):
         """Initialize the frozen towers from Stage-I checkpoints named in
         cfg.model.params.{a,v}feat_extractor.params.ckpt_path — the
         cross-stage surgery the reference performs inside the extractor
-        constructors (ref: ast.py:113-132, motionformer.py:156-173)."""
-        import os
-
+        constructors (ref: ast.py:113-132, motionformer.py:156-173). Accepts
+        torch .pt files AND framework-native Stage-I orbax run dirs; any
+        configured path that cannot be loaded is a hard error (a silently
+        unloaded tower wastes the whole training run)."""
         from synchformer_tpu.utils.checkpoint import (
-            extract_tower_from_avclip,
-            load_torch_checkpoint,
+            load_stage1_tower,
+            merge_params_nonstrict,
         )
 
         model_params = self.cfg.get("model", {}).get("params", {})
         for key, tower in (("afeat_extractor", "audio"),
                            ("vfeat_extractor", "visual")):
             ckpt_path = model_params.get(key, {}).get("params", {}).get("ckpt_path")
-            if ckpt_path and str(ckpt_path).endswith(".pt") and os.path.exists(ckpt_path):
-                converted = extract_tower_from_avclip(
-                    load_torch_checkpoint(ckpt_path), tower)
-                enc_key = "a_encoder" if tower == "audio" else "v_encoder"
-                # keep randomly-initialized leaves for params absent from the
-                # Stage-I ckpt (e.g. temp_attn_agg; ref load is non-strict)
-                merged = dict(params[enc_key])
-                merged.update(converted)
-                params = {**params, enc_key: merged}
-                logging.info(f"initialized {enc_key} from Stage-I ckpt {ckpt_path}")
+            if not ckpt_path:
+                continue
+            loaded = load_stage1_tower(str(ckpt_path), tower)
+            enc_key = "a_encoder" if tower == "audio" else "v_encoder"
+            # non-strict merge: fresh leaves stay for params absent from the
+            # Stage-I ckpt (e.g. a different temporal aggregator; the
+            # reference load is non-strict too, ref: ast.py:124-130)
+            merged, report = merge_params_nonstrict(params[enc_key], loaded)
+            n_loaded = (len(jax.tree.leaves(params[enc_key]))
+                        - len(report["missing"]) - len(report["mismatched"]))
+            if n_loaded == 0:
+                raise ValueError(
+                    f"{enc_key}: Stage-I ckpt {ckpt_path} matched no params "
+                    f"(missing={len(report['missing'])}, "
+                    f"mismatched={report['mismatched'][:3]})")
+            for field in ("missing", "unexpected", "mismatched"):
+                if report[field]:
+                    logging.warning(f"{enc_key} <- {ckpt_path}: {field} "
+                                    f"({len(report[field])}): "
+                                    f"{report[field][:6]}")
+            params = {**params, enc_key: merged}
+            logging.info(f"initialized {enc_key} ({n_loaded} leaves) "
+                         f"from Stage-I ckpt {ckpt_path}")
         return params
 
     def _compile_steps(self):
@@ -208,10 +251,13 @@ class SyncTrainer:
             return _device_preprocess(raw_batch, train=train, rng=rng,
                                       mel_cfg=mel_cfg, p_flip=p_flip,
                                       p_color_jitter=p_cj, p_gray_scale=p_gs,
+                                      p_audio_aug=self.pipe_cfg.p_audio_aug,
+                                      afps=int(self.pipe_cfg.afps),
                                       dtype=dtype)
 
         self._train_step = make_sync_train_step(
-            self.model, preprocess=preprocess, target_key=self.target_key)
+            self.model, preprocess=preprocess, target_key=self.target_key,
+            extractors_deterministic=not self.towers_trainable)
         self._eval_step = make_sync_eval_step(
             self.model, preprocess=preprocess, target_key=self.target_key)
 

@@ -34,11 +34,18 @@ def _inputs(batch, preprocess, train: bool, rng):
 
 
 def make_sync_train_step(model, preprocess: Optional[Callable] = None,
-                         target_key: str = "targets", donate: bool = True):
+                         target_key: str = "targets", donate: bool = True,
+                         extractors_deterministic: bool = True):
     """Stage II/III training step for `Synchformer`.
 
     batch: dict(vis=(B,S,T,H,W,C), aud=(B,S,T',F), targets=(B,)) — or the
     raw loader batch (video/audio/<target_key>) when `preprocess` is given.
+
+    `extractors_deterministic=True` is the frozen-tower default (towers stay
+    in eval mode while the sync transformer trains, ref:
+    scripts/train_utils.py:330-344); pass False when the config marks the
+    extractors `is_trainable` so their dropout/drop-path follow train mode
+    and gradients flow through them (they are in `state.trainable` then).
     """
 
     def train_step(state: SyncTrainState, batch, rng):
@@ -51,7 +58,8 @@ def make_sync_train_step(model, preprocess: Optional[Callable] = None,
             params = merge_params(trainable, state.frozen)
             loss, logits = model.apply(
                 {"params": params}, vis, aud, targets,
-                deterministic=False, extractors_deterministic=True,
+                deterministic=False,
+                extractors_deterministic=extractors_deterministic,
                 rngs={"dropout": model_rng,
                       "droppath": jax.random.fold_in(model_rng, 1)},
             )

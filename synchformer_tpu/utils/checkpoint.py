@@ -324,6 +324,62 @@ def extract_tower_from_avclip(ckpt: Mapping, tower: str) -> Dict:
     raise ValueError(tower)
 
 
+def load_stage1_tower(ckpt_path: str, tower: str) -> Dict:
+    """Load one tower's params from a Stage-I checkpoint, torch OR
+    framework-native orbax (the cross-stage surgery of ref: ast.py:113-132,
+    motionformer.py:156-173, extended to this framework's own Stage-I runs).
+
+    Accepted paths:
+    - ``*.pt``            — reference torch AVCLIP ckpt (converted)
+    - an orbax run dir    — a Stage-I exp dir (``<dir>/ckpts/{best,latest}``),
+      its ``ckpts`` dir, or a direct ``best``/``latest`` manager dir; restores
+      best when available, else latest, and slices the tower subtree (already
+      in flax layout — no conversion).
+
+    Raises on anything that cannot be loaded — a configured-but-unloaded
+    tower must fail loudly, not waste a training run.
+    """
+    import jax
+
+    assert tower in ("audio", "visual"), tower
+    path = Path(ckpt_path)
+    if not path.exists():
+        raise FileNotFoundError(
+            f"{tower} tower ckpt_path does not exist: {ckpt_path}")
+    if path.is_file():
+        if path.suffix not in (".pt", ".pth", ".pyth"):
+            raise ValueError(
+                f"{tower} tower ckpt_path is a file but not a torch ckpt: {ckpt_path}")
+        return extract_tower_from_avclip(load_torch_checkpoint(str(path)), tower)
+
+    # orbax run dir: resolve to the dir that holds best/ and/or latest/
+    for candidate in (path, path / "ckpts"):
+        if (candidate / "best").is_dir() or (candidate / "latest").is_dir():
+            ckpts_dir = candidate
+            break
+    else:
+        if path.name in ("best", "latest"):
+            ckpts_dir = path.parent
+        else:
+            raise FileNotFoundError(
+                f"{tower} tower ckpt_path {ckpt_path} is a directory but holds "
+                "no orbax 'best'/'latest' checkpoints")
+    mngr = CheckpointManager(str(ckpts_dir))
+    if mngr.best_step() is not None:
+        payload = mngr.restore_best()
+    elif mngr.latest_step() is not None:
+        payload = mngr.restore_latest()
+    else:
+        raise FileNotFoundError(f"no orbax checkpoint steps under {ckpts_dir}")
+    params = payload.get("trainable", payload.get("params", payload))
+    enc_key = "a_encoder" if tower == "audio" else "v_encoder"
+    if enc_key not in params:
+        raise KeyError(
+            f"orbax ckpt under {ckpts_dir} has no '{enc_key}' subtree "
+            f"(keys: {sorted(params)[:8]}) — is it a Stage-I run?")
+    return jax.tree.map(np.asarray, params[enc_key])
+
+
 def trim_sync_pos_emb(params: Mapping, target_seq_len: Optional[int]) -> Dict:
     """Apply the reference's pos-emb trim rule to an already-converted params
     tree (ref: model/sync_model.py:101-114): trim a longer checkpoint pos emb

@@ -124,3 +124,47 @@ def test_sync_trainer_end_to_end(tmp_path):
     assert trainer.ckpt.latest_step() is not None
     # scalar logs exist
     assert (trainer.logger.logdir / "scalars.jsonl").exists()
+
+
+def test_config_driven_tower_trainability(tmp_path):
+    """`is_trainable: True` on an extractor (ref: configs/sync.yaml:7,19 +
+    scripts/train_utils.py:195-214) puts the tower into the trainable subtree:
+    its params change under training while the other tower stays frozen."""
+    import copy
+
+    import jax
+
+    cfg = copy.deepcopy(TINY_CFG)
+    cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False)
+    cfg["model"]["params"]["vfeat_extractor"]["is_trainable"] = True
+    # a higher LR so one step moves the weights measurably
+    cfg["training"]["base_learning_rate"] = 1e-2
+
+    trainer = SyncTrainer(cfg)
+    assert "v_encoder" in trainer.trainable_keys
+    assert "a_encoder" not in trainer.trainable_keys
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": rng.integers(0, 255, (8, 3, 4, 16, 16, 3), dtype=np.uint8),
+        "audio": rng.standard_normal((8, 3, 2560)).astype(np.float32),
+        "offset_target": rng.integers(0, 21, 8).astype(np.int32),
+    }
+    state = trainer.build_state(batch)
+    assert "v_encoder" in state.trainable and "a_encoder" in state.frozen
+    v_before = np.asarray(
+        state.trainable["v_encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]).copy()
+    a_before = np.asarray(
+        state.frozen["a_encoder"]["layer_0"]["attn"]["qkv"]["kernel"]).copy()
+
+    trainer._compile_steps()
+    dev_batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+    state, metrics = trainer._train_step(state, dev_batch, jax.random.PRNGKey(0))
+    assert bool(metrics["loss_finite"])
+
+    v_after = np.asarray(
+        state.trainable["v_encoder"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    a_after = np.asarray(
+        state.frozen["a_encoder"]["layer_0"]["attn"]["qkv"]["kernel"])
+    assert not np.allclose(v_after, v_before)          # tower trained
+    np.testing.assert_array_equal(a_after, a_before)   # other tower frozen
