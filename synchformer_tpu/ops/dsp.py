@@ -242,3 +242,19 @@ def random_reverb(x: jnp.ndarray, rng: jax.Array, p: float,
     apply = jax.random.bernoulli(rng, p, x.shape[:1])
     wet = reverb(x, sample_rate)
     return jnp.where(apply.reshape((-1,) + (1,) * (x.ndim - 1)), wet, x)
+
+
+def random_audio_aug_chain(pcm: jnp.ndarray, rng: jax.Array, p: float,
+                           sample_rate: int) -> jnp.ndarray:
+    """The reference's five AudioRandom* transforms in their config order
+    (ref: configs/sync.yaml:151-169 == configs/segment_avclip.yaml, all at
+    p=${data.p_audio_aug}): reverb, volume (gain 2.0), pitch shift (1000),
+    lowpass (100 Hz), gaussian noise (0.01). Device-side and jit-fused —
+    the reference runs these per CPU worker."""
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    pcm = random_reverb(pcm, k1, p, sample_rate)
+    pcm = random_volume(pcm, k2, p, gain=2.0)
+    pcm = random_pitch_shift(pcm, k3, p, sample_rate, shift=1000.0)
+    pcm = random_lowpass(pcm, k4, p, sample_rate, cutoff_freq=100.0)
+    pcm = random_gauss_noise(pcm, k5, p, amplitude=0.01)
+    return pcm

@@ -17,6 +17,7 @@ model/modules/feat_extractors/train_clip_src/training/{train_clip,train}.py —
 from __future__ import annotations
 
 import logging
+import time
 from typing import Any, Dict, Optional
 
 import jax
@@ -34,6 +35,7 @@ from synchformer_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
     replicated,
+    set_active_data_mesh,
 )
 from synchformer_tpu.registry import instantiate_from_config
 from synchformer_tpu.train.metrics import gather_dict
@@ -79,6 +81,8 @@ class AVCLIPTrainer:
         self.compute_dtype = compute_dtype
 
         self.mesh = make_mesh(n_model=int(training.get("model_parallel", 1)))
+        # pallas entry points shard_map over this mesh's 'data' axis
+        set_active_data_mesh(self.mesh)
         n_data = self.mesh.shape["data"]
         assert self.batch_size % n_data == 0, \
             f"batch_size {self.batch_size} must divide over data-parallel size {n_data}"
@@ -129,6 +133,7 @@ class AVCLIPTrainer:
             is_master=jax.process_index() == 0,
             log_code_state=bool(cfg.get("logging", {}).get("log_code_state", False)))
         self.ckpt = CheckpointManager(str(self.logger.logdir / "ckpts"))
+        self.log_frequency = int(cfg.get("logging", {}).get("log_frequency", 20))
         self._train_step = None
         self._eval_step = None
 
@@ -148,17 +153,11 @@ class AVCLIPTrainer:
         p_aug = self.pipe_cfg.p_audio_aug
         if train and rng is not None and p_aug > 0:
             # device-side audio augs (ref: configs/segment_avclip.yaml p=0.2;
-            # volume/noise/lowpass — see ops/dsp.py for the sox equivalences)
-            from synchformer_tpu.ops import dsp
+            # see ops/dsp.py for the sox equivalences)
+            from synchformer_tpu.ops.dsp import random_audio_aug_chain
 
-            k1, k2, k3, k4, k5 = jax.random.split(jax.random.fold_in(rng, 7), 5)
-            pcm = dsp.random_reverb(pcm, k1, p_aug, int(self.pipe_cfg.afps))
-            pcm = dsp.random_volume(pcm, k2, p_aug, gain=2.0)
-            pcm = dsp.random_pitch_shift(pcm, k3, p_aug, int(self.pipe_cfg.afps),
-                                         shift=1000.0)
-            pcm = dsp.random_lowpass(pcm, k4, p_aug, self.pipe_cfg.afps,
-                                     cutoff_freq=100.0)
-            pcm = dsp.random_gauss_noise(pcm, k5, p_aug, amplitude=0.01)
+            pcm = random_audio_aug_chain(pcm, jax.random.fold_in(rng, 7),
+                                         p_aug, int(self.pipe_cfg.afps))
         mel = log_mel_spectrogram(pcm, self.mel_cfg)
         aud = jnp.swapaxes(mel, -1, -2).astype(self.compute_dtype)
         return vis, aud
@@ -279,7 +278,12 @@ class AVCLIPTrainer:
             loaders["train"].set_epoch(epoch)
             n_iters = max(len(loaders["train"]), 1)
             loss_m = Meter()
+            # per-iteration telemetry: data/batch time + samples/s, logged
+            # every log_frequency steps (ref: training/train.py:195-213)
+            data_m, batch_m = Meter(), Meter()
+            t_prev = time.time()
             for i, batch in enumerate(loaders["train"]):
+                data_m.update(time.time() - t_prev)  # loader wait
                 batch_dev = batch_to_device(batch, bs)
                 if self.is_moco:
                     # ALBEF alpha ramps linearly over epoch 0
@@ -293,6 +297,28 @@ class AVCLIPTrainer:
                 if not bool(metrics["loss_finite"]):
                     raise RuntimeError(f"non-finite Stage-I loss at epoch {epoch} it {i}")
                 loss_m.update(float(metrics["loss"]))
+                batch_m.update(time.time() - t_prev)  # full iteration
+                t_prev = time.time()
+                if (i + 1) % self.log_frequency == 0:
+                    step_now = int(state.step)
+                    samples_per_s = (self.batch_size * jax.process_count()
+                                     / max(batch_m.avg, 1e-9))
+                    lr_now = float(self.schedule(step_now))
+                    logging.info(
+                        f"Train Epoch: {epoch} [{(i + 1) * self.batch_size}"
+                        f"/{n_iters * self.batch_size}] "
+                        f"Data (t): {data_m.avg:.3f} "
+                        f"Batch (t): {batch_m.avg:.3f}, "
+                        f"{samples_per_s:#.4g}/s, "
+                        f"{samples_per_s / jax.process_count():#.4g}/s/proc "
+                        f"LR: {lr_now:.3g} Loss: {loss_m.avg:#.5g}")
+                    self.logger.log_dict(
+                        {"data_time": data_m.avg, "batch_time": batch_m.avg,
+                         "samples_per_s": samples_per_s, "lr": lr_now,
+                         "loss_iter": float(metrics["loss"])},
+                        step_now, prefix="train/")
+                    # per-window time meters (ref: train.py:231-233)
+                    data_m, batch_m = Meter(), Meter()
                 if i == 0:
                     # in-train eval-one-example: zero-shot probe + similarity
                     # heatmaps on the first train batch of every epoch

@@ -198,3 +198,31 @@ def test_calc_cls_metrics_binary_syncability():
     assert "accuracy_2" not in m  # silenced for binary like the reference
     assert 0.5 < m["accuracy_1"] <= 1.0
     assert {"precision", "recall", "f1"} <= set(m)
+
+
+def test_stage_sync_audio_aug_hook(rng):
+    """Stage-II/III device preprocess honors p_audio_aug (ref:
+    configs/sync.yaml:151-169): p=1 changes the mel input, p=0 is
+    bit-identical to the no-hook path."""
+    import jax
+
+    from synchformer_tpu.train.stage_sync import _device_preprocess
+
+    batch = {
+        "video": jnp.asarray(rng.integers(0, 255, (2, 3, 4, 16, 16, 3),
+                                          dtype=np.uint8)),
+        "audio": jnp.asarray(rng.standard_normal((2, 3, 2560))
+                             .astype(np.float32) * 0.1),
+    }
+    key = jax.random.PRNGKey(0)
+    _, aud_off = _device_preprocess(batch, train=True, rng=key, p_flip=0.0)
+    _, aud_p0 = _device_preprocess(batch, train=True, rng=key, p_flip=0.0,
+                                   p_audio_aug=0.0)
+    _, aud_p1 = _device_preprocess(batch, train=True, rng=key, p_flip=0.0,
+                                   p_audio_aug=1.0)
+    _, aud_eval = _device_preprocess(batch, train=False, rng=None, p_flip=0.0,
+                                     p_audio_aug=1.0)
+    np.testing.assert_array_equal(np.asarray(aud_p0), np.asarray(aud_off))
+    assert not np.allclose(np.asarray(aud_p1), np.asarray(aud_off))
+    # eval never augments
+    np.testing.assert_array_equal(np.asarray(aud_eval), np.asarray(aud_off))

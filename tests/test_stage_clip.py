@@ -106,7 +106,8 @@ def test_moco_trainer_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_avclip_trainer_end_to_end(tmp_path):
     cfg = dict(TINY_AVCLIP_CFG)
-    cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False)
+    cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False,
+                          log_frequency=1)
     trainer = AVCLIPTrainer(cfg)
     results = trainer.fit(SyntheticAV("train", n_clips=16),
                           SyntheticAV("valid", n_clips=8),
@@ -118,6 +119,20 @@ def test_avclip_trainer_end_to_end(tmp_path):
     # logit scale stayed clamped
     scale = float(trainer._state.trainable["logit_scale"])
     assert 0.001 <= scale <= 0.5
+    # per-iteration telemetry (ref: training/train.py:195-213): every
+    # log_frequency iters the data/batch-time + throughput meters land in
+    # the scalar log
+    import json
+
+    scalars = [json.loads(line) for line in
+               open(trainer.logger.logdir / "scalars.jsonl")]
+    tags = {s["tag"] for s in scalars}
+    assert {"train/data_time", "train/batch_time",
+            "train/samples_per_s", "train/lr"} <= tags
+    n_train_iters = 16 // trainer.batch_size
+    assert sum(s["tag"] == "train/samples_per_s" for s in scalars) == n_train_iters
+    sps = [s["value"] for s in scalars if s["tag"] == "train/samples_per_s"]
+    assert all(v > 0 for v in sps)
 
 
 @pytest.mark.slow
