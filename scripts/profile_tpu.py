@@ -126,6 +126,35 @@ def build_stage2(batch: int):
     return run, ("samples/s", batch)
 
 
+def build_attn(batch: int):
+    """Standalone pallas divided-attention microbench at production dims
+    (B*S=112, f=8, n=196, D=768 packed [q|k|v]) — the kernel-iteration loop
+    for the VPU/MXU-overlap work. Reports ms per (space, time) layer-call."""
+    from synchformer_tpu.ops.pallas.divided_attention import (
+        divided_attention_pallas_4d,
+    )
+
+    bsz = batch  # B*S
+    f, n, d = 8, 196, 768
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.standard_normal((bsz, f, n, 3 * d))
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    xc = jnp.asarray(rng.standard_normal((bsz, 1, 3 * d))
+                     .astype(np.float32)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def run_pair(xp, xc):
+        sp, sc = divided_attention_pallas_4d(xp, xc, 12, "space")
+        tp, tc = divided_attention_pallas_4d(xp, xc, 12, "time")
+        return (jnp.sum(sp.astype(jnp.float32)) + jnp.sum(sc.astype(jnp.float32))
+                + jnp.sum(tp.astype(jnp.float32)) + jnp.sum(tc.astype(jnp.float32)))
+
+    def run():
+        return run_pair(xp, xc)
+
+    return run, ("layer-pair/s", 1)
+
+
 def parse_trace(outdir: str, n_iter: int, top: int = 30) -> None:
     """Group device events (pid 3) by XLA op long_name; ms per iteration."""
     tr = sorted(glob.glob(outdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
@@ -151,18 +180,19 @@ def parse_trace(outdir: str, n_iter: int, top: int = 30) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["e2e", "stage1", "stage2"])
+    ap.add_argument("mode", choices=["e2e", "stage1", "stage2", "attn"])
     ap.add_argument("--batch", type=int, default=None,
-                    help="default: e2e 8 / stage1 2 / stage2 16")
+                    help="default: e2e 8 / stage1 2 / stage2 16 / attn 112")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--profile", action="store_true",
                     help="capture a 3-iter device trace and print the op "
                          "breakdown instead of best-of-3 timing")
     args = ap.parse_args()
 
-    batch = args.batch or {"e2e": 8, "stage1": 2, "stage2": 16}[args.mode]
+    batch = args.batch or {"e2e": 8, "stage1": 2, "stage2": 16,
+                           "attn": 112}[args.mode]
     run, (unit, b) = {"e2e": build_e2e, "stage1": build_stage1,
-                      "stage2": build_stage2}[args.mode](batch)
+                      "stage2": build_stage2, "attn": build_attn}[args.mode](batch)
 
     _sync(run())  # compile + warm
     print("compiled/warm", flush=True)

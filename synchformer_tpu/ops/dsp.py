@@ -13,12 +13,24 @@ The reference delegates these to torchaudio/sox on CPU per worker
 - resample: kaiser-windowed-sinc polyphase resampling expressed as one matmul
   per phase (MXU-friendly), matching torchaudio.functional.resample semantics
   (ref: transforms.py:892-904)
-- pitch shift: resample-based shift (rate change + length-preserving sinc
-  resample). NOTE: sox's 'pitch' effect time-stretches with WSOLA; all shipped
-  reference configs run with p_audio_aug=0.0 (configs/sync.yaml:110), so this
-  is an aug-only approximation, documented here.
-- reverb: Schroeder reverberator (4 parallel feedback combs + 2 allpasses),
-  an aug-only approximation of sox 'reverb -w' (ref: transforms.py:758-785).
+- pitch shift: sox 'pitch <cents>' semantics (ref: transforms.py:734-739 ==
+  sox pitch.c): a WSOLA time-stretch by 2^(cents/1200) (sox tempo defaults:
+  82 ms segment / 14.68 ms search / 12 ms overlap) followed by a
+  windowed-sinc rate conversion back to the original duration. The WSOLA
+  search runs as one (search, overlap) correlation matmul per output segment
+  inside a lax.scan; the rate conversion has fully static geometry (the
+  shift is a config constant), so it compiles to one gather + one weighted
+  reduction.
+- reverb: sox 'reverb' (ref: transforms.py:758-785), which is freeverb —
+  8 parallel lowpass-feedback combs + 4 series allpasses per channel with
+  sox reverb.c's exact tunings (44.1 kHz comb lengths 1116..1617 scaled by
+  sample-rate ratio and room scale, stereo spread ±12 samples, feedback
+  derived from reverberance via sox's log-map). A mono input produces sox's
+  two stereo channels which are averaged, matching the reference's
+  `wave.mean(dim=0)` after `reverb -w` (wet only). The per-sample comb
+  recurrence is restructured into delay-length blocks: the cross-block
+  dependency is a lax.scan, the in-block lowpass state is a lower-triangular
+  Toeplitz matmul (MXU), so nothing runs at audio rate.
 """
 from __future__ import annotations
 
@@ -174,17 +186,97 @@ def resample(x: jnp.ndarray, orig_freq: int, new_freq: int,
     return out[..., :target_len].astype(x.dtype)
 
 
-def pitch_shift(x: jnp.ndarray, sample_rate: int, shift_cents: float) -> jnp.ndarray:
-    """Resample-based pitch shift (length-preserving via linear interp).
-    Approximation of sox 'pitch' (see module docstring)."""
-    rate = 2.0 ** (shift_cents / 1200.0)
+# ---------------------------------------------------------------------------
+# sox tempo (WSOLA) + pitch
+# ---------------------------------------------------------------------------
+
+def tempo_wsola(x: jnp.ndarray, factor: float, sample_rate: int,
+                segment_ms: float = 82.0, search_ms: float = 14.68,
+                overlap_ms: float = 12.0) -> jnp.ndarray:
+    """sox 'tempo' (WSOLA): change speed, keep pitch. factor > 1 speeds up
+    (shorter output); output length is round(n / factor).
+
+    Per output segment: search the ``search`` window around the nominal input
+    position for the offset whose overlap region best matches the previous
+    output tail (normalized cross-correlation — the standard WSOLA
+    criterion), then linearly cross-fade over ``overlap`` samples. Geometry
+    (segment positions, frame indices) is static; only the per-batch argmax
+    offset is data-dependent, so the whole stretch is one lax.scan of
+    (search, overlap) matmuls + take_along_axis gathers.
+    """
+    x32 = x.astype(jnp.float32)
     n = x.shape[-1]
-    # shift the spectrum by resampling, then stretch back to original length
-    src = jnp.arange(n) * rate
-    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n - 1)
-    hi = jnp.clip(lo + 1, 0, n - 1)
-    frac = (src - lo).astype(x.dtype)
-    return x[..., lo] * (1 - frac) + x[..., hi] * frac
+    seg = max(int(sample_rate * segment_ms / 1000 + 0.5), 2)
+    ov = max(min(int(sample_rate * overlap_ms / 1000 + 0.5), seg - 1), 1)
+    search = max(int(sample_rate * search_ms / 1000 + 0.5), 1)
+    hop = seg - ov
+    n_out = int(round(n / factor))
+    if n_out <= ov:
+        return x32[..., :n_out]
+    k_iters = -(-(n_out - ov) // hop)
+    base = (np.arange(k_iters, dtype=np.float64) * hop * factor
+            + 0.5).astype(np.int64)
+    need = int(base[-1]) + search + seg
+    xp = jnp.pad(x32, [(0, 0)] * (x.ndim - 1) + [(0, max(0, need - n))])
+    ov_idx = jnp.asarray(np.arange(search)[:, None]
+                         + np.arange(ov)[None, :])          # (search, ov)
+    w = (jnp.arange(ov, dtype=jnp.float32) / ov)            # fade-in ramp
+
+    def step(tail, bk):
+        region = jax.lax.dynamic_slice_in_dim(xp, bk, search + seg, axis=-1)
+        fr = region[..., ov_idx]                            # (..., search, ov)
+        corr = jnp.einsum("...so,...o->...s", fr, tail)
+        energy = jnp.sum(fr * fr, axis=-1)
+        score = corr / jnp.sqrt(energy + 1e-12)
+        o = jnp.argmax(score, axis=-1)                      # (...,)
+        seg_idx = o[..., None] + jnp.arange(seg)            # (..., seg)
+        seg_k = jnp.take_along_axis(region, seg_idx, axis=-1)
+        head = tail * (1.0 - w) + seg_k[..., :ov] * w
+        chunk = jnp.concatenate([head, seg_k[..., ov:hop]], axis=-1)
+        return seg_k[..., hop:], chunk
+
+    tail0 = xp[..., :ov]   # prime with the true signal start: k=0 matches at
+    #                        offset 0 and the head comes out bit-exact
+    final_tail, chunks = jax.lax.scan(step, tail0, jnp.asarray(base))
+    chunks = jnp.moveaxis(chunks, 0, -2).reshape(*x.shape[:-1], k_iters * hop)
+    out = jnp.concatenate([chunks, final_tail], axis=-1)
+    return out[..., :n_out]
+
+
+def pitch_shift(x: jnp.ndarray, sample_rate: int, shift_cents: float) -> jnp.ndarray:
+    """sox 'pitch <cents>' + 'rate <sr>' (ref: transforms.py:734-739).
+
+    sox's pitch effect is tempo (WSOLA) with factor 1/2^(cents/1200) — a
+    duration change with pitch preserved — followed by a rate conversion
+    that restores the original duration, net-shifting every frequency by
+    2^(cents/1200) (sox pitch.c wraps tempo.c exactly this way). The rate
+    step here is a kaiser-windowed-sinc interpolation evaluated at the
+    (static) positions m * 2^(cents/1200): one gather + one weighted sum.
+    """
+    d = 2.0 ** (shift_cents / 1200.0)
+    if d == 1.0:
+        return x
+    stretched = tempo_wsola(x, 1.0 / d, sample_rate)
+    n = x.shape[-1]
+    ns = stretched.shape[-1]
+    # windowed-sinc interpolation at t_m = m * d (input-sample units)
+    width, rolloff, beta = 6, 0.99, 14.769656459379492
+    fc = min(1.0, 1.0 / d) * rolloff
+    half = int(math.ceil(width / fc))
+    pos = np.arange(n, dtype=np.float64) * d                # (n,)
+    lo = np.floor(pos).astype(np.int64) - half
+    taps = np.arange(2 * half + 2)                          # (K,)
+    idx = lo[:, None] + taps[None, :]                       # (n, K)
+    t = (idx - pos[:, None]) * fc                           # in cutoff periods
+    tcl = np.clip(t / width, -1.0, 1.0)
+    window = np.i0(beta * np.sqrt(1.0 - tcl ** 2)) / np.i0(beta)
+    kern = np.sinc(t) * window * fc
+    kern[np.abs(t) > width] = 0.0
+    kern[(idx < 0) | (idx >= ns)] = 0.0                     # zero-padded edges
+    idx = np.clip(idx, 0, ns - 1)
+    out = jnp.sum(stretched[..., jnp.asarray(idx)]
+                  * jnp.asarray(kern.astype(np.float32)), axis=-1)
+    return out.astype(x.dtype)
 
 
 def random_pitch_shift(x: jnp.ndarray, rng: jax.Array, p: float,
@@ -195,50 +287,160 @@ def random_pitch_shift(x: jnp.ndarray, rng: jax.Array, p: float,
 
 
 # ---------------------------------------------------------------------------
-# Schroeder reverb (aug-only approximation of sox reverb)
+# sox reverb (freeverb)
 # ---------------------------------------------------------------------------
 
-_COMB_DELAYS_MS = (29.7, 37.1, 41.1, 43.7)
-_ALLPASS_DELAYS_MS = (5.0, 1.7)
+# sox reverb.c tunings: filter delay lengths in samples at 44100 Hz.
+_SOX_COMB_LENGTHS = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+_SOX_ALLPASS_LENGTHS = (225, 341, 441, 556)
+_SOX_STEREO_ADJUST = 12
 
 
-def _feedback_comb(x, delay, feedback):
+def sox_reverb_geometry(sample_rate: float, reverberance: float = 50.0,
+                        hf_damping: float = 50.0, room_scale: float = 100.0,
+                        stereo_depth: float = 100.0, wet_gain_db: float = 0.0):
+    """Per-channel comb/allpass delay lengths + scalar filter constants,
+    exactly as sox reverb.c derives them (reverb_create /
+    filter_array_create). A mono input with stereo_depth > 0 yields two
+    channels whose delays are spread by ±12 samples with alternating sign."""
+    r = sample_rate / 44100.0
+    scale = room_scale / 100.0 * 0.9 + 0.1
+    depth = stereo_depth / 100.0
+    a = -1.0 / math.log(1.0 - 0.3)                 # minimum feedback
+    b = 100.0 / (math.log(1.0 - 0.98) * a + 1.0)   # maximum feedback
+    feedback = 1.0 - math.exp((reverberance - b) / (a * b))
+    damping = hf_damping / 100.0 * 0.3 + 0.2
+    gain = 10.0 ** (wet_gain_db / 20.0) * 0.015
+    channels = []
+    for c in range(2 if depth > 0 else 1):
+        offset = c * depth
+        combs, allpasses = [], []
+        for length in _SOX_COMB_LENGTHS:
+            combs.append(int(length * r * scale
+                             + _SOX_STEREO_ADJUST * offset + 0.5))
+            offset = -offset
+        for length in _SOX_ALLPASS_LENGTHS:
+            allpasses.append(int(length * r
+                                 + _SOX_STEREO_ADJUST * offset + 0.5))
+            offset = -offset
+        channels.append((combs, allpasses))
+    return channels, feedback, damping, gain
+
+
+def _comb_bank(x: jnp.ndarray, delays: jnp.ndarray, max_delay: int,
+               feedback: float, damping: float, blk: int) -> jnp.ndarray:
+    """Sum of freeverb lowpass-feedback combs (sox comb_process):
+        out[n]   = buf[n-d]
+        store[n] = (1-damping) * out[n] + damping * store[n-1]
+        buf[n]   = in[n] + feedback * store[n]
+    All C combs run in ONE lax.scan over blk-sample blocks: the carry holds
+    each comb's last ``max_delay`` buffer samples, the d-delayed read is a
+    vmapped dynamic_slice (delay lengths are traced, so every comb — and
+    both stereo-spread channels — share one compiled scan body), and the
+    in-block lowpass-store recurrence is a lower-triangular Toeplitz matmul
+    over exponential damping weights (MXU), so no per-sample loop survives.
+    Requires blk <= min(delays)."""
     n = x.shape[-1]
-    num_blocks = n // delay + 2
+    c = delays.shape[0]
+    nb = -(-n // blk)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * blk - n)])
+    xb = jnp.moveaxis(xp.reshape(*x.shape[:-1], nb, blk), -2, 0)
+    t_idx = np.arange(blk)
+    delta = t_idx[:, None] - t_idx[None, :]
+    toep_j = jnp.asarray(np.where(
+        delta >= 0, (1.0 - damping) * damping ** np.maximum(delta, 0),
+        0.0).astype(np.float32))
+    pows_j = jnp.asarray((damping ** (t_idx + 1.0)).astype(np.float32))
+    starts = max_delay - delays                              # (C,)
+    slice_d = jax.vmap(
+        lambda h, s: jax.lax.dynamic_slice_in_dim(h, s, blk, axis=-1),
+        in_axes=(-2, 0), out_axes=-2)
 
-    def body(carry, i):
-        prev = carry
-        start = i * delay
-        block = jax.lax.dynamic_slice_in_dim(x, start, delay, axis=-1)
-        out = block + feedback * prev
-        return out, out
+    def step(carry, xblk):
+        hist, s0 = carry                                    # (...,C,maxd),(...,C)
+        out = slice_d(hist, starts)                         # (..., C, blk)
+        store = (jnp.einsum("...cj,tj->...ct", out, toep_j)
+                 + s0[..., None] * pows_j)
+        buf = xblk[..., None, :] + feedback * store
+        hist = jnp.concatenate([hist[..., blk:], buf], axis=-1)
+        return (hist, store[..., -1]), jnp.sum(out, axis=-2)
 
-    x_pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, num_blocks * delay - n)])
-    init = jnp.zeros(x.shape[:-1] + (delay,), x.dtype)
-    _, blocks = jax.lax.scan(
-        lambda c, i: body(c, i), init, jnp.arange(num_blocks))
-    blocks = jnp.moveaxis(blocks, 0, -2).reshape(*x.shape[:-1], num_blocks * delay)
-    del x_pad
-    return blocks[..., :n]
+    init = (jnp.zeros(x.shape[:-1] + (c, max_delay), jnp.float32),
+            jnp.zeros(x.shape[:-1] + (c,), jnp.float32))
+    _, outs = jax.lax.scan(step, init, xb)
+    y = jnp.moveaxis(outs, 0, -2).reshape(*x.shape[:-1], nb * blk)
+    return y[..., :n]
 
 
-def reverb(x: jnp.ndarray, sample_rate: int, wet: float = 0.5,
-           feedback: float = 0.74) -> jnp.ndarray:
-    """Schroeder reverberator: 4 parallel combs + 2 series allpasses."""
-    y = jnp.zeros_like(x)
-    for ms in _COMB_DELAYS_MS:
-        d = max(int(sample_rate * ms / 1000.0), 1)
-        y = y + _feedback_comb(x, d, feedback)
-    y = y / len(_COMB_DELAYS_MS)
-    for ms in _ALLPASS_DELAYS_MS:
-        d = max(int(sample_rate * ms / 1000.0), 1)
-        fwd = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(d, 0)])[..., :y.shape[-1]]
-        y = -0.7 * y + fwd + 0.7 * jnp.pad(fwd, [(0, 0)] * (y.ndim - 1) + [(d, 0)])[..., :y.shape[-1]]
-    return (1 - wet) * x + wet * y
+def _allpass_chain(x: jnp.ndarray, delays: jnp.ndarray, max_delay: int,
+                   blk: int) -> jnp.ndarray:
+    """Series freeverb allpasses (sox allpass_process):
+        out[n] = buf[n-d] - in[n];  buf[n] = in[n] + 0.5 * buf[n-d]
+    Outer scan over the (traced) delay list — one compiled body serves every
+    allpass in the chain; inner scan over blk-sample blocks with a
+    dynamic-slice delayed read (no intra-block dependency at all).
+    Requires blk <= min(delays)."""
+    n = x.shape[-1]
+    nb = -(-n // blk)
+    pad = [(0, 0)] * (x.ndim - 1)
+
+    def one_allpass(y, d):
+        yp = jnp.pad(y, pad + [(0, nb * blk - n)])
+        yb = jnp.moveaxis(yp.reshape(*y.shape[:-1], nb, blk), -2, 0)
+        start = max_delay - d
+
+        def step(hist, yblk):
+            delayed = jax.lax.dynamic_slice_in_dim(hist, start, blk, axis=-1)
+            hist = jnp.concatenate([hist[..., blk:], yblk + 0.5 * delayed],
+                                   axis=-1)
+            return hist, delayed - yblk
+
+        _, outs = jax.lax.scan(
+            step, jnp.zeros(y.shape[:-1] + (max_delay,), jnp.float32), yb)
+        out = jnp.moveaxis(outs, 0, -2).reshape(*y.shape[:-1], nb * blk)
+        return out[..., :n], None
+
+    y, _ = jax.lax.scan(one_allpass, x, delays)
+    return y
+
+
+def reverb(x: jnp.ndarray, sample_rate: int, reverberance: float = 50.0,
+           hf_damping: float = 50.0, room_scale: float = 100.0,
+           stereo_depth: float = 100.0, pre_delay_ms: float = 0.0,
+           wet_gain_db: float = 0.0, wet_only: bool = True) -> jnp.ndarray:
+    """sox 'reverb' on a mono signal (freeverb; sox reverb.c semantics and
+    defaults). With stereo_depth > 0, the mono input drives sox's two
+    spread-delay filter arrays and the two wet channels are averaged —
+    exactly what the reference computes via `apply_effects_tensor(...,
+    [['reverb', '-w']])` then `wave.mean(dim=0)` (ref: transforms.py:758-785).
+    wet_only=True is sox's `-w`."""
+    channels, feedback, damping, gain = sox_reverb_geometry(
+        sample_rate, reverberance, hf_damping, room_scale, stereo_depth,
+        wet_gain_db)
+    x32 = x.astype(jnp.float32)
+    n = x.shape[-1]
+    if pre_delay_ms > 0:
+        dpre = int(sample_rate * pre_delay_ms / 1000.0 + 0.5)
+        x32 = jnp.pad(x32, [(0, 0)] * (x.ndim - 1) + [(dpre, 0)])[..., :n]
+    comb_max = max(d for combs, _ in channels for d in combs)
+    comb_blk = min(128, min(d for combs, _ in channels for d in combs))
+    ap_max = max(d for _, aps in channels for d in aps)
+    ap_blk = min(64, min(d for _, aps in channels for d in aps))
+    wet = None
+    for combs, allpasses in channels:
+        y = _comb_bank(x32, jnp.asarray(combs, jnp.int32), comb_max,
+                       feedback, damping, comb_blk)
+        y = _allpass_chain(y, jnp.asarray(allpasses, jnp.int32), ap_max,
+                           ap_blk)
+        wet = y if wet is None else wet + y
+    wet = wet * (gain / len(channels))
+    return wet if wet_only else x32 + wet
 
 
 def random_reverb(x: jnp.ndarray, rng: jax.Array, p: float,
                   sample_rate: int) -> jnp.ndarray:
+    """AudioRandomReverb (ref: transforms.py:758-785): sox `reverb -w`
+    defaults, stereo wet pair averaged back to mono."""
     apply = jax.random.bernoulli(rng, p, x.shape[:1])
     wet = reverb(x, sample_rate)
     return jnp.where(apply.reshape((-1,) + (1,) * (x.ndim - 1)), wet, x)

@@ -10,9 +10,12 @@ from synchformer_tpu.ops.dsp import (
     biquad,
     biquad_coeffs_lowpass,
     lowpass_biquad,
+    pitch_shift,
     random_gauss_noise,
     random_volume,
     resample,
+    reverb,
+    tempo_wsola,
 )
 from synchformer_tpu.train.metrics import calc_cls_metrics
 
@@ -150,6 +153,138 @@ def test_random_volume_and_noise(rng):
     noisy = random_gauss_noise(x, jax.random.PRNGKey(1), p=1.0, amplitude=0.01)
     diff = np.asarray(noisy) - np.asarray(x)
     assert 0.005 < diff.std() < 0.02
+
+
+# --- sox reverb (freeverb) --------------------------------------------------
+
+def _sox_reverb_scalar(x, sr, reverberance=50.0, hf_damping=50.0,
+                       room_scale=100.0, stereo_depth=100.0,
+                       wet_gain_db=0.0):
+    """Independent float64 sample-loop transliteration of sox reverb.c
+    (reverb_create / filter_array_create / comb_process / allpass_process),
+    wet-only, mono input -> mean of the two spread channels (what the
+    reference computes; ref: dataset/transforms.py:758-785)."""
+    import math
+    r = sr / 44100.0
+    scale = room_scale / 100.0 * 0.9 + 0.1
+    depth = stereo_depth / 100.0
+    a = -1.0 / math.log(1.0 - 0.3)
+    b = 100.0 / (math.log(1.0 - 0.98) * a + 1.0)
+    feedback = 1.0 - math.exp((reverberance - b) / (a * b))
+    damping = hf_damping / 100.0 * 0.3 + 0.2
+    gain = 10.0 ** (wet_gain_db / 20.0) * 0.015
+    comb_l = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+    ap_l = (225, 341, 441, 556)
+    n = len(x)
+    outs = []
+    for c in range(2):
+        offset = c * depth
+        combs, aps = [], []
+        for length in comb_l:
+            combs.append(int(length * r * scale + 12 * offset + 0.5))
+            offset = -offset
+        for length in ap_l:
+            aps.append(int(length * r + 12 * offset + 0.5))
+            offset = -offset
+        bufs = [np.zeros(d) for d in combs]
+        stores = [0.0] * len(combs)
+        ptrs = [0] * len(combs)
+        abufs = [np.zeros(d) for d in aps]
+        aptrs = [0] * len(aps)
+        y = np.zeros(n)
+        for i in range(n):
+            out = 0.0
+            for k, d in enumerate(combs):
+                o = bufs[k][ptrs[k]]
+                stores[k] = o + (stores[k] - o) * damping
+                bufs[k][ptrs[k]] = x[i] + stores[k] * feedback
+                ptrs[k] = (ptrs[k] + 1) % d
+                out += o
+            for k, d in enumerate(aps):
+                o = abufs[k][aptrs[k]]
+                abufs[k][aptrs[k]] = out + o * 0.5
+                aptrs[k] = (aptrs[k] + 1) % d
+                out = o - out
+            y[i] = out * gain
+        outs.append(y)
+    return (outs[0] + outs[1]) / 2.0
+
+
+def test_reverb_matches_sox_scalar_spec(rng):
+    """The block-parallel TPU reverb is numerically the sox reverb.c
+    algorithm: compare against a literal per-sample float64 transliteration
+    on 0.15 s of noise (covers ~6 comb round-trips of the shortest delay)."""
+    sr, n = 16_000, 2_400
+    x = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    golden = _sox_reverb_scalar(x.astype(np.float64), sr)
+    got = np.asarray(reverb(jnp.asarray(x), sr))
+    np.testing.assert_allclose(got, golden, rtol=1e-3, atol=2e-5)
+
+
+def test_reverb_batched_matches_per_clip(rng):
+    sr = 16_000
+    x = (rng.standard_normal((3, 1_600)) * 0.2).astype(np.float32)
+    batched = np.asarray(reverb(jnp.asarray(x), sr))
+    for i in range(3):
+        single = np.asarray(reverb(jnp.asarray(x[i]), sr))
+        np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-7)
+
+
+def test_reverb_impulse_response_shape():
+    """Wet-only response to a unit impulse: silent until the shortest comb
+    delay, then a decaying tail (feedback < 1)."""
+    sr = 16_000
+    n = 6_000
+    x = np.zeros(n, np.float32)
+    x[0] = 1.0
+    y = np.asarray(reverb(jnp.asarray(x), sr))
+    # shortest comb delay at 16 kHz: int(1116 * 16000/44100 - 12 + .5) = 393
+    assert np.abs(y[:390]).max() == 0.0
+    assert np.abs(y[390:1000]).max() > 1e-4
+    early = np.abs(y[400:2000]).max()
+    late = np.abs(y[4000:]).max()
+    assert late < early  # decaying tail
+
+
+# --- sox pitch (WSOLA tempo + rate) ------------------------------------------
+
+def _dominant_freq(y, sr):
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    return np.fft.rfftfreq(len(y), 1.0 / sr)[np.argmax(spec)]
+
+
+def test_tempo_wsola_stretches_duration_keeps_pitch():
+    sr, n, f0 = 16_000, 10_240, 440.0
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    for factor in (0.561231, 1.25):
+        y = np.asarray(tempo_wsola(jnp.asarray(x), factor, sr))
+        assert y.shape[-1] == int(round(n / factor))
+        assert abs(_dominant_freq(y[200:-200], sr) - f0) < 5.0
+        # amplitude preserved (no energy blow-up/collapse from the overlap-add)
+        assert 0.8 < np.sqrt(np.mean(y[200:-200] ** 2)) / np.sqrt(0.5) < 1.2
+
+
+@pytest.mark.parametrize("cents", [1000.0, -500.0])
+def test_pitch_shift_moves_tone_by_exact_ratio(cents):
+    """sox pitch semantics: duration unchanged, every frequency scaled by
+    2^(cents/1200) (ref pitch aug uses shift=1000; configs/sync.yaml:162)."""
+    sr, n, f0 = 16_000, 10_240, 440.0
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    y = np.asarray(pitch_shift(jnp.asarray(x), sr, cents))
+    assert y.shape == x.shape
+    expect = f0 * 2.0 ** (cents / 1200.0)
+    got = _dominant_freq(y[200:-200], sr)
+    assert abs(got - expect) < 6.0, (got, expect)
+    assert 0.7 < np.sqrt(np.mean(y[500:-500] ** 2)) / np.sqrt(0.5) < 1.3
+
+
+def test_pitch_shift_batched_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((2, 3, 2_560)).astype(np.float32) * 0.1)
+    y = pitch_shift(x, 16_000, 1000.0)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
 
 
 # --- metrics (kept here to avoid a tiny extra file) ------------------------
