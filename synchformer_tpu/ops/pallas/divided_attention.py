@@ -240,29 +240,60 @@ def _cls_row_v3(q, k, v, masks):
 
 def _space_pair_v3(qf, kf, vf, k0, v0, masks, dtype):
     """(f, n, W) frame-batched space attention with the CLS k/v folded in.
-    Returns (f, n, W) packed f32."""
+    Returns (f, n, W) packed f32.
+
+    VPU-traffic-minimal softmax (round-3 ablation: exp itself is FREE on the
+    VPU — a noexp variant measured +0.08 ms — the 1.3 ms/layer softmax cost
+    is the VMEM passes over the (f, n, n) f32 logits). Two passes survive:
+    the row-max read and one fused sub→exp→convert read/write that emits the
+    probabilities directly in the matmul dtype. The denominator moves to the
+    MXU: this mask's PV output lanes for the OTHER head are dead zeros (vf is
+    lane-masked), so planting a ones-lane there makes the PV matmul deliver
+    row sums of ep for free — no separate f32 ep materialization, no VPU
+    lane-reduce over the logits, no standalone convert pass."""
     out = jnp.zeros(qf.shape, jnp.float32)
-    for qm in masks:
+    w = qf.shape[-1]
+    n_masks = len(masks)
+    dh = w // n_masks
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    for i, qm in enumerate(masks):
         qfm = qf * qm[None]
         logits = jax.lax.dot_general(qfm, kf, _QK3,
                                      preferred_element_type=jnp.float32)
         cls_logit = jnp.sum(qfm * k0[None].astype(qf.dtype), axis=-1,
                             keepdims=True, dtype=jnp.float32)       # (f, n, 1)
         m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
-        ep = jnp.exp(logits - m)
+        ep = jnp.exp(logits - m).astype(dtype)
         ec = jnp.exp(cls_logit - m)
-        denom = jnp.sum(ep, axis=-1, keepdims=True) + ec
-        vfm = vf * qm[None].astype(vf.dtype)
         v0m = (v0 * qm.astype(v0.dtype))[None].astype(jnp.float32)
-        out = out + (jax.lax.dot_general(ep.astype(dtype), vfm, _PV3,
-                                         preferred_element_type=jnp.float32)
-                     + ec * v0m) / denom
+        if n_masks > 1:
+            j0 = ((i + 1) % n_masks) * dh   # a dead lane under this mask
+            onehot = (lanes == j0).astype(vf.dtype)
+            vfm = vf * qm[None].astype(vf.dtype) + onehot[None]
+            pv = jax.lax.dot_general(ep, vfm, _PV3,
+                                     preferred_element_type=jnp.float32)
+            denom = pv[:, :, j0:j0 + 1] + ec
+            out = out + (pv + ec * v0m) * qm[None].astype(jnp.float32) / denom
+        else:  # full-width single head: no dead lane to carry the row sum
+            vfm = vf * qm[None].astype(vf.dtype)
+            denom = jnp.sum(ep, axis=-1, keepdims=True,
+                            dtype=jnp.float32) + ec
+            pv = jax.lax.dot_general(ep, vfm, _PV3,
+                                     preferred_element_type=jnp.float32)
+            out = out + (pv + ec * v0m) / denom
     return out
 
 
-def _time_pair_v3(qf, kf, vf, k0, v0, masks, dtype, group: int = 16):
+def _time_pair_v3(qf, kf, vf, k0, v0, masks, dtype, group: int = 16,
+                  store=None):
     """(f, n, W) -> (f, n, W) per-position attention via grouped masked MXU
-    matmuls over ALIGNED 16-position slices of the frame-major reshape."""
+    matmuls over ALIGNED 16-position slices of the frame-major reshape.
+
+    With ``store`` (a callback (g0, gw, out_f32) -> None), each group's
+    output is written straight to the destination ref instead of
+    concatenated — drops the (f, n, W) f32 concat materialization + re-read
+    (the round-3 ablations showed time mode is bound by in-kernel data
+    movement, not math: removing the entire softmax moved it only 0.05 ms)."""
     f, n, w = qf.shape
     neg = jnp.float32(-1e30)
     gmasks = {}
@@ -294,8 +325,11 @@ def _time_pair_v3(qf, kf, vf, k0, v0, masks, dtype, group: int = 16):
             out = out + (jnp.dot(ep.astype(dtype), vgm,
                                  preferred_element_type=jnp.float32)
                          + ec * v0m) / denom
-        outs.append(out.reshape(f, gw, w))
-    return jnp.concatenate(outs, axis=1)
+        if store is not None:
+            store(g0, gw, out.reshape(f, gw, w))
+        else:
+            outs.append(out.reshape(f, gw, w))
+    return None if store is not None else jnp.concatenate(outs, axis=1)
 
 
 def _kernel_v3(x_ref, o_ref, *, mode: str, num_frames: int, n_tokens: int,
@@ -384,17 +418,27 @@ def _kernel_4d(xp_ref, xc_ref, op_ref, oc_ref, *, mode: str, head_dim: int,
                 qc, kc, vc, kf, vf, masks).astype(oc_ref.dtype)
             if mode == "space":
                 out = _space_pair_v3(qf, kf, vf, kc, vc, masks, xp_ref.dtype)
+                op_ref[s, :, :, p * w:(p + 1) * w] = out.astype(op_ref.dtype)
             else:
-                out = _time_pair_v3(qf, kf, vf, kc, vc, masks, xp_ref.dtype)
-            op_ref[s, :, :, p * w:(p + 1) * w] = out.astype(op_ref.dtype)
+                def store(g0, gw, out, s=s, p=p):
+                    op_ref[s, :, g0:g0 + gw, p * w:(p + 1) * w] = (
+                        out.astype(op_ref.dtype))
+                _time_pair_v3(qf, kf, vf, kc, vc, masks, xp_ref.dtype,
+                              store=store)
 
 
 def divided_attention_pallas_4d(qkv_patches: jnp.ndarray, qkv_cls: jnp.ndarray,
                                 num_heads: int, mode: str,
-                                segs_per_block: int = 2):
+                                segs_per_block: int = 1):
     """Split-layout divided attention. qkv_patches: (B, f, n, 3D) frame-major
     patch tokens; qkv_cls: (B, 1, 3D). Returns (patches_out (B, f, n, D),
-    cls_out (B, 1, D)) in standard head-major feature order."""
+    cls_out (B, 1, D)) in standard head-major feature order.
+
+    segs_per_block=1 (112 programs at B*S=112) measures FASTER than 2 on a
+    v5e chip despite half the DMA amortization: space 3.55 -> 3.01, time
+    2.42 -> 2.32 ms/layer-call (trace-based A/B, round 3). Smaller programs
+    give Mosaic finer DMA/compute pipelining granularity and halve the VMEM
+    working set; segs=4 does not even fit the 100 MB scoped-vmem limit."""
     b, f, n, threed = qkv_patches.shape
     d = threed // 3
     dh = d // num_heads

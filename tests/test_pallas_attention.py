@@ -26,6 +26,31 @@ def test_pallas_kernel_matches_xla(rng, mode):
 
 
 @pytest.mark.parametrize("mode", ["space", "time"])
+def test_split_layout_forward_matches_xla(rng, mode):
+    """4D split-(cls, patches) layout at a 128-lane-aligned head pairing
+    (dh=64 -> lane-masked head pairs, the production-dims code path incl.
+    the MXU ones-lane denominator): forward VALUES == the XLA path."""
+    f, n, heads, dh = 2, 8, 2, 64  # d=128 -> hpg=2, width=128: 4D path
+    seq, d = 1 + f * n, heads * dh
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, seq, d)).astype(np.float32))
+
+    attn_x = DividedAttention(num_heads=heads, attn_impl="xla")
+    variables = attn_x.init(jax.random.PRNGKey(0), x, f, mode)
+    golden = attn_x.apply(variables, x, f, mode)
+
+    attn_p = DividedAttention(num_heads=heads, attn_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        out_c, out_p = attn_p.apply(
+            variables, (x[:, :1], x[:, 1:].reshape(b, f, n, d)), f, mode)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(golden[:, :1]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(golden[:, 1:].reshape(b, f, n, d)),
+        rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["space", "time"])
 def test_pallas_with_mask_falls_back_to_xla(rng, mode, caplog):
     """attn_impl='pallas' + keep_mask: the kernels are unmasked-only, so the
     module must route to the (masked) XLA path with identical numerics and a
