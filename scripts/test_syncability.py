@@ -74,6 +74,10 @@ def main():
     # the first 13 segments inside evaluate_syncability
     ds = VGGSoundSparsePickedCleanTest(
         "test", kv["vids_path"], splits_path=kv.get("splits_path", "./data"))
+    # reference protocol: drop the 10 hardcoded videos shorter than 9.6 s
+    # (ref: scripts/test_syncability.py:113-125,224-226)
+    from synchformer_tpu.train.syncability_eval import filter_too_short_videos
+    filter_too_short_videos(ds)
     pipe_cfg = SyncPipelineConfig(n_segments=14, for_syncability=True)
     # drop_last=False: evaluate the FULL filtered set — tail batches are
     # wrap-padded and evaluate_syncability drops the duplicates via pad_mask

@@ -447,6 +447,14 @@ def prepare_item(video: np.ndarray, audio: np.ndarray, cfg: SyncPipelineConfig,
         "offset_sec": np.float32(crop.offset_sec),
         "v_start_i_sec": np.float32(crop.v_start_i_sec),
     }
+    if is_train and cfg.p_audio_aug > 0:
+        # audio augs apply to the contiguous cropped waveform BEFORE
+        # segmentation (ref: configs/sync.yaml:151-171, AudioRandom* precede
+        # GenerateMultipleSegments): ship the full crop + per-segment start
+        # indices so the device can aug-then-gather (ops/dsp.aug_then_segment)
+        out["audio_full"] = np.ascontiguousarray(
+            audio[crop.a_start_i:crop.a_start_i + crop.a_len], dtype=np.float32)
+        out["audio_seg_starts"] = a_ranges[:, 0].astype(np.int32)
     if crop.offset_target is not None:
         out["offset_target"] = np.int32(crop.offset_target)
     if crop.sync_target is not None:

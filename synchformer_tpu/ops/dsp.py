@@ -198,11 +198,13 @@ def tempo_wsola(x: jnp.ndarray, factor: float, sample_rate: int,
 
     Per output segment: search the ``search`` window around the nominal input
     position for the offset whose overlap region best matches the previous
-    output tail (normalized cross-correlation — the standard WSOLA
-    criterion), then linearly cross-fade over ``overlap`` samples. Geometry
-    (segment positions, frame indices) is static; only the per-batch argmax
-    offset is data-dependent, so the whole stretch is one lax.scan of
-    (search, overlap) matmuls + take_along_axis gathers.
+    output tail — sox tempo.c's criterion, the least-squares difference
+    sum((tail - candidate)^2), minimized over every offset in [0, search)
+    (sox's opt-in quick-search coarse stepping is not replicated; it is off
+    for the pitch effect) — then linearly cross-fade over ``overlap``
+    samples. Geometry (segment positions, frame indices) is static; only the
+    per-batch argmin offset is data-dependent, so the whole stretch is one
+    lax.scan of (search, overlap) matmuls + take_along_axis gathers.
     """
     x32 = x.astype(jnp.float32)
     n = x.shape[-1]
@@ -210,6 +212,9 @@ def tempo_wsola(x: jnp.ndarray, factor: float, sample_rate: int,
     ov = max(min(int(sample_rate * overlap_ms / 1000 + 0.5), seg - 1), 1)
     search = max(int(sample_rate * search_ms / 1000 + 0.5), 1)
     hop = seg - ov
+    assert hop > ov, (
+        f"overlap ({ov}) must be < segment - overlap ({hop}): chunk assembly "
+        "emits exactly `hop` samples per iteration")
     n_out = int(round(n / factor))
     if n_out <= ov:
         return x32[..., :n_out]
@@ -225,10 +230,11 @@ def tempo_wsola(x: jnp.ndarray, factor: float, sample_rate: int,
     def step(tail, bk):
         region = jax.lax.dynamic_slice_in_dim(xp, bk, search + seg, axis=-1)
         fr = region[..., ov_idx]                            # (..., search, ov)
+        # least squares: ||tail - fr||^2 = ||tail||^2 - 2 corr + ||fr||^2;
+        # ||tail||^2 is offset-independent, so minimize (energy - 2 corr)
         corr = jnp.einsum("...so,...o->...s", fr, tail)
         energy = jnp.sum(fr * fr, axis=-1)
-        score = corr / jnp.sqrt(energy + 1e-12)
-        o = jnp.argmax(score, axis=-1)                      # (...,)
+        o = jnp.argmin(energy - 2.0 * corr, axis=-1)        # (...,)
         seg_idx = o[..., None] + jnp.arange(seg)            # (..., seg)
         seg_k = jnp.take_along_axis(region, seg_idx, axis=-1)
         head = tail * (1.0 - w) + seg_k[..., :ov] * w
@@ -282,8 +288,15 @@ def pitch_shift(x: jnp.ndarray, sample_rate: int, shift_cents: float) -> jnp.nda
 def random_pitch_shift(x: jnp.ndarray, rng: jax.Array, p: float,
                        sample_rate: int, shift: float = 1000.0) -> jnp.ndarray:
     apply = jax.random.bernoulli(rng, p, x.shape[:1])
-    shifted = pitch_shift(x, sample_rate, shift)
-    return jnp.where(apply.reshape((-1,) + (1,) * (x.ndim - 1)), shifted, x)
+
+    def _shifted(x):
+        shifted = pitch_shift(x, sample_rate, shift)
+        return jnp.where(apply.reshape((-1,) + (1,) * (x.ndim - 1)), shifted, x)
+
+    # batch-level gate: when no row draws the aug, skip the whole
+    # WSOLA+sinc chain on device instead of computing-then-discarding it
+    # (ref per-clip gating: dataset/transforms.py:727-785)
+    return jax.lax.cond(jnp.any(apply), _shifted, lambda x: x, x)
 
 
 # ---------------------------------------------------------------------------
@@ -315,13 +328,18 @@ def sox_reverb_geometry(sample_rate: float, reverberance: float = 50.0,
     for c in range(2 if depth > 0 else 1):
         offset = c * depth
         combs, allpasses = [], []
+        # sox filter_array_create applies the stereo-spread offset to the
+        # 44.1 kHz BASE length, before the rate/room scaling:
+        #   comb:    len = r * scale * (length + stereo_adjust * offset) + .5
+        #   allpass: len = r *         (length + stereo_adjust * offset) + .5
         for length in _SOX_COMB_LENGTHS:
-            combs.append(int(length * r * scale
-                             + _SOX_STEREO_ADJUST * offset + 0.5))
+            combs.append(int(r * scale
+                             * (length + _SOX_STEREO_ADJUST * offset) + 0.5))
             offset = -offset
         for length in _SOX_ALLPASS_LENGTHS:
-            allpasses.append(int(length * r
-                                 + _SOX_STEREO_ADJUST * offset + 0.5))
+            allpasses.append(int(r
+                                 * (length + _SOX_STEREO_ADJUST * offset)
+                                 + 0.5))
             offset = -offset
         channels.append((combs, allpasses))
     return channels, feedback, damping, gain
@@ -442,8 +460,14 @@ def random_reverb(x: jnp.ndarray, rng: jax.Array, p: float,
     """AudioRandomReverb (ref: transforms.py:758-785): sox `reverb -w`
     defaults, stereo wet pair averaged back to mono."""
     apply = jax.random.bernoulli(rng, p, x.shape[:1])
-    wet = reverb(x, sample_rate)
-    return jnp.where(apply.reshape((-1,) + (1,) * (x.ndim - 1)), wet, x)
+
+    def _wet(x):
+        wet = reverb(x, sample_rate)
+        return jnp.where(apply.reshape((-1,) + (1,) * (x.ndim - 1)), wet, x)
+
+    # batch-level gate: skip the comb/allpass banks entirely when no row
+    # draws the aug (ref per-clip gating: dataset/transforms.py:727-785)
+    return jax.lax.cond(jnp.any(apply), _wet, lambda x: x, x)
 
 
 def random_audio_aug_chain(pcm: jnp.ndarray, rng: jax.Array, p: float,
@@ -460,3 +484,23 @@ def random_audio_aug_chain(pcm: jnp.ndarray, rng: jax.Array, p: float,
     pcm = random_lowpass(pcm, k4, p, sample_rate, cutoff_freq=100.0)
     pcm = random_gauss_noise(pcm, k5, p, amplitude=0.01)
     return pcm
+
+
+def segment_pcm(pcm_full: jnp.ndarray, seg_starts: jnp.ndarray,
+                seg_len: int) -> jnp.ndarray:
+    """Gather sliding-window segments from a contiguous per-clip waveform on
+    device: (..., n) f32 + (..., S) int32 starts -> (..., S, seg_len)."""
+    idx = seg_starts[..., None] + jnp.arange(seg_len)       # (..., S, seg_len)
+    return jnp.take_along_axis(pcm_full[..., None, :], idx, axis=-1)
+
+
+def aug_then_segment(pcm_full: jnp.ndarray, seg_starts: jnp.ndarray,
+                     seg_len: int, rng: jax.Array, p: float,
+                     sample_rate: int) -> jnp.ndarray:
+    """Reference aug placement: the five AudioRandom* effects run on the
+    contiguous temporally-cropped waveform BEFORE GenerateMultipleSegments
+    (ref: configs/sync.yaml:151-171), so overlapping segments share identical
+    augmented samples and reverb/WSOLA continuity spans segment boundaries.
+    The segment gather afterwards is a static-shape take_along_axis."""
+    return segment_pcm(random_audio_aug_chain(pcm_full, rng, p, sample_rate),
+                       seg_starts, seg_len)

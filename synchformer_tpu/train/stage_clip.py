@@ -131,7 +131,10 @@ class AVCLIPTrainer:
             logdir, exp_name=cfg.get("logging", {}).get("exp_name"),
             cfg=cfg if isinstance(cfg, dict) else None,
             is_master=jax.process_index() == 0,
-            log_code_state=bool(cfg.get("logging", {}).get("log_code_state", False)))
+            log_code_state=bool(cfg.get("logging", {}).get("log_code_state", False)),
+            # Stage I is the reference's primary wandb consumer
+            # (ref: train_clip.py wandb path, utils/logger.py:41-53)
+            use_wandb=bool(cfg.get("logging", {}).get("use_wandb", False)))
         self.ckpt = CheckpointManager(str(self.logger.logdir / "ckpts"))
         self.log_frequency = int(cfg.get("logging", {}).get("log_frequency", 20))
         self._train_step = None
@@ -153,11 +156,24 @@ class AVCLIPTrainer:
         p_aug = self.pipe_cfg.p_audio_aug
         if train and rng is not None and p_aug > 0:
             # device-side audio augs (ref: configs/segment_avclip.yaml p=0.2;
-            # see ops/dsp.py for the sox equivalences)
-            from synchformer_tpu.ops.dsp import random_audio_aug_chain
+            # see ops/dsp.py for the sox equivalences). Applied to the
+            # contiguous pre-segmentation waveform when the loader ships it
+            # (ref order: augs BEFORE GenerateMultipleSegments,
+            # sync.yaml:151-171) so the 50%-overlap segments stay consistent.
+            from synchformer_tpu.ops.dsp import (
+                aug_then_segment,
+                random_audio_aug_chain,
+            )
 
-            pcm = random_audio_aug_chain(pcm, jax.random.fold_in(rng, 7),
-                                         p_aug, int(self.pipe_cfg.afps))
+            if "audio_full" in batch:
+                pcm = aug_then_segment(batch["audio_full"],
+                                       batch["audio_seg_starts"],
+                                       pcm.shape[-1],
+                                       jax.random.fold_in(rng, 7), p_aug,
+                                       int(self.pipe_cfg.afps))
+            else:  # hand-built batches without the full-crop buffer
+                pcm = random_audio_aug_chain(pcm, jax.random.fold_in(rng, 7),
+                                             p_aug, int(self.pipe_cfg.afps))
         mel = log_mel_spectrogram(pcm, self.mel_cfg)
         aud = jnp.swapaxes(mel, -1, -2).astype(self.compute_dtype)
         return vis, aud

@@ -61,11 +61,23 @@ def _device_preprocess(batch: Dict[str, jnp.ndarray], train: bool, rng=None,
     if train and rng is not None and p_audio_aug > 0:
         # the five AudioRandom* train-time augs at p=${data.p_audio_aug}
         # (ref: configs/sync.yaml:151-169; shipped configs run p=0, which
-        # skips this branch at trace time — bit-identical to no hook)
-        from synchformer_tpu.ops.dsp import random_audio_aug_chain
+        # skips this branch at trace time — bit-identical to no hook).
+        # They run on the contiguous pre-segmentation waveform when the
+        # loader ships it (ref order: augs BEFORE GenerateMultipleSegments,
+        # sync.yaml:151-171) so overlapping segments stay consistent.
+        from synchformer_tpu.ops.dsp import (
+            aug_then_segment,
+            random_audio_aug_chain,
+        )
 
-        pcm = random_audio_aug_chain(pcm, jax.random.fold_in(rng, 7),
-                                     p_audio_aug, afps)
+        if "audio_full" in batch:
+            pcm = aug_then_segment(batch["audio_full"],
+                                   batch["audio_seg_starts"], pcm.shape[-1],
+                                   jax.random.fold_in(rng, 7), p_audio_aug,
+                                   afps)
+        else:  # hand-built batches without the full-crop buffer
+            pcm = random_audio_aug_chain(pcm, jax.random.fold_in(rng, 7),
+                                         p_audio_aug, afps)
     mel = log_mel_spectrogram(pcm, mel_cfg)                  # (B, S, 128, T)
     aud = jnp.swapaxes(mel, -1, -2).astype(dtype)            # (B, S, T, 128)
     return vis, aud
@@ -173,6 +185,8 @@ class SyncTrainer:
             log_code_state=bool(cfg.get("logging", {}).get("log_code_state", False)),
             use_wandb=bool(cfg.get("logging", {}).get("use_wandb", False)))
         self.ckpt = CheckpointManager(str(self.logger.logdir / "ckpts"))
+        self.schedule = schedule
+        self.log_frequency = int(cfg.get("logging", {}).get("log_frequency", 20))
 
         self._train_step = None
         self._eval_step = None
@@ -286,23 +300,36 @@ class SyncTrainer:
         loader.set_epoch(epoch)
         if phase == "train":
             meters = {"loss": Meter(), "accuracy_1": Meter(), "samples_per_sec": Meter()}
+            n_iters = max(len(loader), 1)
             t0 = time.perf_counter()
 
             def staged():
-                # dispatch H2D for batch n+1 while step n runs on device
+                # dispatch H2D for batch n+1 while step n runs on device;
+                # data_t times the loader fetch only (the reference's Data(t)
+                # meter, ref: scripts/train_sync.py:219-228)
                 pending = None
-                for i, batch in enumerate(loader):
+                it = enumerate(loader)
+                while True:
+                    t_fetch = time.perf_counter()
+                    try:
+                        i, batch = next(it)
+                    except StopIteration:
+                        break
+                    data_t = time.perf_counter() - t_fetch
                     batch.pop("pad_mask", None)  # train drops the tail instead
                     if i == 0 and epoch == 0:
                         self.dump_input_reconstruction(batch, f"{phase}_e{epoch}")
                     nxt = batch_to_device(batch, bs)  # async dispatch
                     if pending is not None:
                         yield pending
-                    pending = (i, batch, nxt)
+                    pending = (i, batch, nxt, data_t)
                 if pending is not None:
                     yield pending
 
-            for i, batch, batch_dev in staged():
+            # per-iteration Data(t)/Batch(t) telemetry at log_frequency
+            # (ref: scripts/train_sync.py:219-228; same meter set as Stage I)
+            data_m, batch_m = Meter(), Meter()
+            for i, batch, batch_dev, data_t in staged():
                 state, metrics = self._train_step(state, batch_dev, rng)
                 loss = float(metrics["loss"])
                 if not bool(metrics["loss_finite"]):
@@ -313,9 +340,26 @@ class SyncTrainer:
                 meters["loss"].update(loss)
                 meters["accuracy_1"].update(float(metrics["accuracy_1"]))
                 meters["samples_per_sec"].update(len(batch["video"]) / dt)
+                data_m.update(data_t)
+                batch_m.update(dt)
                 step = int(state.step)
-                if step % 20 == 0:
-                    self.logger.log_scalar("train/loss_iter", loss, step)
+                if step % self.log_frequency == 0:
+                    samples_per_s = (len(batch["video"]) * jax.process_count()
+                                     / max(batch_m.avg, 1e-9))
+                    lr_now = float(self.schedule(step))
+                    logging.info(
+                        f"Train Epoch: {epoch} [{(i + 1) * len(batch['video'])}"
+                        f"/{n_iters * len(batch['video'])}] "
+                        f"Data (t): {data_m.avg:.3f} "
+                        f"Batch (t): {batch_m.avg:.3f}, "
+                        f"{samples_per_s:#.4g}/s "
+                        f"LR: {lr_now:.3g} Loss: {loss:#.5g}")
+                    self.logger.log_dict(
+                        {"data_time": data_m.avg, "batch_time": batch_m.avg,
+                         "samples_per_s": samples_per_s, "lr": lr_now,
+                         "loss_iter": loss},
+                        step, prefix="train/")
+                    data_m, batch_m = Meter(), Meter()  # per-window meters
             out = {k: m.avg for k, m in meters.items()}
             self._state = state
             return out

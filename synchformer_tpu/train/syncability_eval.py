@@ -26,6 +26,36 @@ from synchformer_tpu.train.metrics import calc_cls_metrics
 
 CONF_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99)
 
+# The reference's eval protocol hardcodes 10 VGGSound test videos shorter
+# than 9.6 s and drops them before building the loader
+# (ref: scripts/test_syncability.py:113-125, applied at :224-226).
+VIDEO_IDS_SHORTER_THAN_9_6_SEC = frozenset({
+    "-7tYmeOmsRg_180000_190000.mp4",
+    "1_Q80fDGLRM_10000_20000.mp4",
+    "8qsCZLEoA1Q_4000_14000.mp4",
+    "F9bJVVYgFl4_73000_83000.mp4",
+    "KQAR_64a35I_11000_21000.mp4",
+    "TgJHM5oSWio_8000_18000.mp4",
+    "U9PyY8Ldf9A_5000_15000.mp4",
+    "aUfDxRelPHg_22000_32000.mp4",
+    "cLpDBj--as0_8000_18000.mp4",
+    "cRT5SWbyA54_4000_14000.mp4",
+})
+
+
+def filter_too_short_videos(dataset) -> int:
+    """Drop the reference protocol's too-short-video exclusion list from a
+    dataset's records in place; returns how many were removed
+    (ref: scripts/test_syncability.py:224-226)."""
+    before = len(dataset.records)
+    dataset.records = [r for r in dataset.records
+                       if Path(r.path).name not in VIDEO_IDS_SHORTER_THAN_9_6_SEC]
+    removed = before - len(dataset.records)
+    if removed:
+        logging.info(f"filtered {removed} too-short (<9.6 s) videos "
+                     "from the eval set")
+    return removed
+
 
 def _softmax(x):
     z = x - x.max(axis=-1, keepdims=True)

@@ -180,11 +180,13 @@ def _sox_reverb_scalar(x, sr, reverberance=50.0, hf_damping=50.0,
     for c in range(2):
         offset = c * depth
         combs, aps = [], []
+        # sox filter_array_create: the stereo-spread offset is added to the
+        # 44.1 kHz base length BEFORE the rate/room scaling
         for length in comb_l:
-            combs.append(int(length * r * scale + 12 * offset + 0.5))
+            combs.append(int(r * scale * (length + 12 * offset) + 0.5))
             offset = -offset
         for length in ap_l:
-            aps.append(int(length * r + 12 * offset + 0.5))
+            aps.append(int(r * (length + 12 * offset) + 0.5))
             offset = -offset
         bufs = [np.zeros(d) for d in combs]
         stores = [0.0] * len(combs)
@@ -238,9 +240,11 @@ def test_reverb_impulse_response_shape():
     x = np.zeros(n, np.float32)
     x[0] = 1.0
     y = np.asarray(reverb(jnp.asarray(x), sr))
-    # shortest comb delay at 16 kHz: int(1116 * 16000/44100 - 12 + .5) = 393
-    assert np.abs(y[:390]).max() == 0.0
-    assert np.abs(y[390:1000]).max() > 1e-4
+    # shortest comb delay at 16 kHz is channel 0's first comb:
+    # int(16000/44100 * 1.0 * 1116 + .5) = 405 (channel 1's first comb is
+    # int(16000/44100 * (1116 + 12) + .5) = 409)
+    assert np.abs(y[:405]).max() == 0.0
+    assert np.abs(y[405:1000]).max() > 1e-4
     early = np.abs(y[400:2000]).max()
     late = np.abs(y[4000:]).max()
     assert late < early  # decaying tail
@@ -335,6 +339,71 @@ def test_calc_cls_metrics_binary_syncability():
     assert {"precision", "recall", "f1"} <= set(m)
 
 
+def test_aug_then_segment_overlap_consistency(rng):
+    """Augs run on the contiguous waveform BEFORE segmentation (ref:
+    configs/sync.yaml:151-171): at p=1.0 the 50%-overlap region of segment k
+    must be bit-identical to the head of segment k+1 — the property the
+    reference's transform order guarantees and per-segment augs break."""
+    from synchformer_tpu.ops.dsp import aug_then_segment
+
+    sr, seg_len, hop, n_seg = 16_000, 512, 256, 6
+    n = hop * (n_seg - 1) + seg_len + 64
+    pcm = rng.standard_normal((2, n)).astype(np.float32) * 0.1
+    starts = np.tile(np.arange(n_seg, dtype=np.int32) * hop, (2, 1))
+    out = np.asarray(aug_then_segment(jnp.asarray(pcm), jnp.asarray(starts),
+                                      seg_len, jax.random.PRNGKey(3), 1.0, sr))
+    assert out.shape == (2, n_seg, seg_len)
+    for k in range(n_seg - 1):
+        np.testing.assert_array_equal(out[:, k, hop:], out[:, k + 1, :hop])
+
+
+def test_aug_then_segment_p0_is_pure_gather(rng):
+    """p=0 must be bit-identical to a plain host-side segment gather."""
+    from synchformer_tpu.ops.dsp import aug_then_segment, segment_pcm
+
+    seg_len, hop, n_seg = 320, 160, 5
+    n = hop * (n_seg - 1) + seg_len
+    pcm = rng.standard_normal((3, n)).astype(np.float32)
+    starts = np.tile(np.arange(n_seg, dtype=np.int32) * hop, (3, 1))
+    got = np.asarray(aug_then_segment(jnp.asarray(pcm), jnp.asarray(starts),
+                                      seg_len, jax.random.PRNGKey(0), 0.0,
+                                      16_000))
+    host = np.stack([pcm[b, starts[b, :, None] + np.arange(seg_len)]
+                     for b in range(3)])
+    np.testing.assert_array_equal(got, host)
+    np.testing.assert_array_equal(
+        np.asarray(segment_pcm(jnp.asarray(pcm), jnp.asarray(starts), seg_len)),
+        host)
+
+
+def test_prepare_item_ships_preseg_audio_when_augs_on(rng):
+    """With p_audio_aug>0 the loader emits the contiguous cropped waveform +
+    segment starts, and gathering them reproduces the segmented audio
+    bit-exactly; with p=0 (or eval) the extra keys are absent so the p=0
+    batch layout is unchanged."""
+    from synchformer_tpu.data.transforms import SyncPipelineConfig, prepare_item
+    from synchformer_tpu.ops.dsp import segment_pcm
+
+    video = rng.integers(0, 255, (250, 64, 64, 3), dtype=np.uint8)
+    audio = rng.standard_normal(160_000).astype(np.float32)
+    cfg = SyncPipelineConfig(n_segments=14, input_size=48,
+                             size_before_crop=64, p_audio_aug=0.2)
+    item = prepare_item(video, audio, cfg, np.random.default_rng(0), "train")
+    assert item["audio_full"].shape == (80_000,)  # 5 s crop at 16 kHz
+    assert item["audio_seg_starts"].shape == (14,)
+    seg = np.asarray(segment_pcm(jnp.asarray(item["audio_full"]),
+                                 jnp.asarray(item["audio_seg_starts"]),
+                                 item["audio"].shape[-1]))
+    np.testing.assert_array_equal(seg, item["audio"])
+
+    cfg0 = SyncPipelineConfig(n_segments=14, input_size=48,
+                              size_before_crop=64, p_audio_aug=0.0)
+    item0 = prepare_item(video, audio, cfg0, np.random.default_rng(0), "train")
+    assert "audio_full" not in item0 and "audio_seg_starts" not in item0
+    item_t = prepare_item(video, audio, cfg, np.random.default_rng(0), "test")
+    assert "audio_full" not in item_t
+
+
 def test_stage_sync_audio_aug_hook(rng):
     """Stage-II/III device preprocess honors p_audio_aug (ref:
     configs/sync.yaml:151-169): p=1 changes the mel input, p=0 is
@@ -361,3 +430,18 @@ def test_stage_sync_audio_aug_hook(rng):
     assert not np.allclose(np.asarray(aud_p1), np.asarray(aud_off))
     # eval never augments
     np.testing.assert_array_equal(np.asarray(aud_eval), np.asarray(aud_off))
+
+    # pre-segmentation path: when the loader ships the contiguous crop the
+    # augs run on it and the segments are gathered on device
+    starts = np.tile(np.array([0, 1280, 2560], np.int32), (2, 1))
+    full = np.zeros((2, 5120), np.float32)
+    aud_np = np.asarray(batch["audio"])
+    full[:, :2560] = aud_np[:, 0]
+    full[:, 1280:3840] = aud_np[:, 1]
+    full[:, 2560:] = aud_np[:, 2]
+    batch_full = dict(batch, audio_full=jnp.asarray(full),
+                      audio_seg_starts=jnp.asarray(starts))
+    _, aud_pre = _device_preprocess(batch_full, train=True, rng=key,
+                                    p_flip=0.0, p_audio_aug=1.0)
+    assert aud_pre.shape == aud_off.shape
+    assert not np.allclose(np.asarray(aud_pre), np.asarray(aud_off))

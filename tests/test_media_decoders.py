@@ -1,0 +1,203 @@
+"""Contract tests for the real-decoder branches of data/media.py.
+
+This image ships neither PyAV nor an ffmpeg binary (available_backends() ->
+['synthetic']), so `_decode_pyav`, `_probe_ffmpeg`, `_decode_ffmpeg`, and
+`reencode_video` are exercised here against mocked `av` / `subprocess`
+boundaries: golden ffprobe JSON, raw rawvideo/f32le pipe bytes, and a stub
+`av` module (VERDICT r3 missing #3). The reference pins its decoder versions
+precisely because decode changes the numbers (ref: README.md:55-98,
+dataset/dataset_utils.py:75-85, example.py:16-36); when a decoder lands, the
+natural integration fixtures are the reference's own sample mp4s
+(/root/reference/data/vggsound/*.mp4).
+"""
+import json
+import sys
+import types
+from unittest import mock
+
+import numpy as np
+import pytest
+
+from synchformer_tpu.data import media
+
+W, H, FPS, ARATE = 6, 4, 25.0, 16000
+
+
+def _ffprobe_json():
+    return json.dumps({
+        "streams": [
+            {"codec_type": "video", "avg_frame_rate": "25/1",
+             "width": W, "height": H},
+            {"codec_type": "audio", "sample_rate": str(ARATE)},
+        ]
+    }).encode()
+
+
+def test_probe_ffmpeg_parses_golden_ffprobe_json():
+    with mock.patch.object(media.subprocess, "check_output",
+                           return_value=_ffprobe_json()) as co:
+        meta = media._probe_ffmpeg("/x/clip.mp4")
+    argv = co.call_args[0][0]
+    assert argv[0] == "ffprobe" and argv[-1] == "/x/clip.mp4"
+    assert "-show_streams" in argv
+    assert meta["video"] == {"fps": [25.0], "width": W, "height": H}
+    assert meta["audio"] == {"framerate": [float(ARATE)]}
+
+
+def test_decode_ffmpeg_reassembles_raw_pipes():
+    tv, ta = 3, 320
+    vid = np.arange(tv * H * W * 3, dtype=np.uint8).reshape(tv, H, W, 3)
+    aud = (np.sin(np.arange(ta) / 10.0)).astype(np.float32)
+
+    def fake_check_output(argv, **kw):
+        if argv[0] == "ffprobe":
+            return _ffprobe_json()
+        assert argv[0] == "ffmpeg" and argv[-1] == "-"
+        assert "-t" in argv and argv[argv.index("-t") + 1] == "0.12"
+        if "rawvideo" in argv:
+            assert argv[argv.index("-pix_fmt") + 1] == "rgb24"
+            return vid.tobytes()
+        assert "f32le" in argv
+        assert argv[argv.index("-ac") + 1] == "1"  # mono
+        return aud.tobytes()
+
+    with mock.patch.object(media.subprocess, "check_output",
+                           side_effect=fake_check_output):
+        video, audio, meta = media._decode_ffmpeg("/x/clip.mp4", end_sec=0.12)
+    np.testing.assert_array_equal(video, vid)
+    np.testing.assert_array_equal(audio, aud)
+    assert audio.dtype == np.float32 and video.dtype == np.uint8
+    assert meta["video"]["fps"] == [25.0]
+    assert meta["audio"]["framerate"] == [float(ARATE)]
+
+
+def test_decode_ffmpeg_no_end_sec_omits_t_flag():
+    def fake_check_output(argv, **kw):
+        if argv[0] == "ffprobe":
+            return _ffprobe_json()
+        assert "-t" not in argv
+        if "rawvideo" in argv:
+            return np.zeros((1, H, W, 3), np.uint8).tobytes()
+        return np.zeros(4, np.float32).tobytes()
+
+    with mock.patch.object(media.subprocess, "check_output",
+                           side_effect=fake_check_output):
+        video, audio, _ = media._decode_ffmpeg("/x/clip.mp4", end_sec=None)
+    assert video.shape == (1, H, W, 3) and audio.shape == (4,)
+
+
+class _FakeFrame:
+    def __init__(self, t, arr):
+        self.time = t
+        self._arr = arr
+
+    def to_ndarray(self, format=None):
+        assert format == "rgb24"
+        return self._arr
+
+
+class _FakeAudioFrame:
+    def __init__(self, t, arr):
+        self.time = t
+        self._arr = arr
+
+    def to_ndarray(self):
+        return self._arr
+
+
+class _FakeContainer:
+    """Stub of av.open(...) supporting the two-pass decode in _decode_pyav."""
+
+    def __init__(self, vframes, aframes):
+        self._v, self._a = vframes, aframes
+        v = types.SimpleNamespace(average_rate=FPS)
+        a = types.SimpleNamespace(rate=ARATE)
+        self.streams = types.SimpleNamespace(video=[v], audio=[a])
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def decode(self, video=None, audio=None):
+        return iter(self._v if video is not None else self._a)
+
+
+def test_decode_pyav_with_stub_av_module():
+    tv = 4
+    vframes = [_FakeFrame(t / FPS,
+                          np.full((H, W, 3), t, np.uint8)) for t in range(tv)]
+    # int16 stereo planar (2, T) chunks: must be averaged to mono and scaled
+    a0 = (np.ones((2, 160)) * 16384).astype(np.int16)
+    a1 = (np.ones((2, 160)) * -16384).astype(np.int16)
+    aframes = [_FakeAudioFrame(0.0, a0), _FakeAudioFrame(0.01, a1),
+               _FakeAudioFrame(9.0, a0)]  # past end_sec -> dropped
+
+    fake_av = types.SimpleNamespace(
+        open=lambda path: _FakeContainer(vframes, aframes))
+    with mock.patch.dict(sys.modules, {"av": fake_av}):
+        video, audio, meta = media._decode_pyav("/x/clip.mp4", end_sec=0.2)
+    assert video.shape == (tv, H, W, 3) and video.dtype == np.uint8
+    np.testing.assert_array_equal(video[2], np.full((H, W, 3), 2))
+    # two kept audio chunks, mono-averaged, int PCM rescaled to [-1, 1]
+    assert audio.shape == (320,) and audio.dtype == np.float32
+    np.testing.assert_allclose(audio[:160], 0.5, atol=1e-4)
+    np.testing.assert_allclose(audio[160:], -0.5, atol=1e-4)
+    assert meta["video"]["fps"] == [FPS]
+    assert meta["audio"]["framerate"] == [float(ARATE)]
+
+
+def test_decode_pyav_end_sec_cuts_video_stream():
+    vframes = [_FakeFrame(t / FPS, np.zeros((H, W, 3), np.uint8))
+               for t in range(10)]
+    aframes = [_FakeAudioFrame(0.0, np.zeros((1, 16), np.float32))]
+    fake_av = types.SimpleNamespace(
+        open=lambda path: _FakeContainer(vframes, aframes))
+    with mock.patch.dict(sys.modules, {"av": fake_av}):
+        video, _, _ = media._decode_pyav("/x/clip.mp4", end_sec=0.2)
+    # frames with time > 0.2 s dropped: keeps t=0..5 (t/25 <= 0.2)
+    assert video.shape[0] == 6
+
+
+def test_reencode_video_exact_ffmpeg_argv(tmp_path):
+    """reencode_video must emit the canonical 25 fps / 16 kHz / min-side-256
+    mono transcode argv (equivalent of ref: example.py:16-36)."""
+    calls = {}
+
+    def fake_check_call(argv, **kw):
+        calls["argv"] = argv
+        return 0
+
+    with mock.patch.object(media.shutil, "which", return_value="/usr/bin/ffmpeg"), \
+         mock.patch.object(media.subprocess, "check_call",
+                           side_effect=fake_check_call):
+        out = media.reencode_video(str(tmp_path / "in.mp4"))
+    argv = calls["argv"]
+    assert argv[0] == "ffmpeg" and "-y" in argv
+    assert argv[argv.index("-i") + 1] == str(tmp_path / "in.mp4")
+    vf = argv[argv.index("-vf") + 1]
+    assert vf.startswith("fps=25,") and "min(iw,ih)" in vf
+    assert argv[argv.index("-ar") + 1] == "16000"
+    assert argv[argv.index("-ac") + 1] == "1"
+    assert argv[-1] == out and out.endswith("_25fps_256side_16000hz.mp4")
+
+
+def test_reencode_video_raises_without_ffmpeg():
+    with mock.patch.object(media.shutil, "which", return_value=None):
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            media.reencode_video("/x/in.mp4")
+
+
+def test_get_video_and_audio_dispatches_to_backend():
+    sentinel = (np.zeros((1, H, W, 3), np.uint8), np.zeros(4, np.float32), {})
+    with mock.patch.object(media, "_decode_pyav",
+                           return_value=sentinel) as dp:
+        out = media.get_video_and_audio("/x/c.mp4", end_sec=1.0,
+                                        backend="pyav")
+    assert out is sentinel
+    dp.assert_called_once_with("/x/c.mp4", 1.0)
+    with mock.patch.object(media, "_decode_ffmpeg",
+                           return_value=sentinel) as df:
+        media.get_video_and_audio("/x/c.mp4", backend="ffmpeg")
+    df.assert_called_once()

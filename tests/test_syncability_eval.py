@@ -112,6 +112,27 @@ def test_evaluate_syncability_tail_batch_counts_each_clip_once(rng, tmp_path):
     assert out["metrics_sync"] == want
 
 
+def test_too_short_video_exclusion_list():
+    """The reference protocol drops 10 hardcoded <9.6 s videos before the
+    loader (ref: scripts/test_syncability.py:113-125,224-226): a dataset
+    containing one of those filenames must evaluate N-1 clips."""
+    from synchformer_tpu.data.datasets import SyntheticAV
+    from synchformer_tpu.train.syncability_eval import (
+        VIDEO_IDS_SHORTER_THAN_9_6_SEC,
+        filter_too_short_videos,
+    )
+
+    assert len(VIDEO_IDS_SHORTER_THAN_9_6_SEC) == 10
+    ds = SyntheticAV("test", n_clips=5)
+    n = len(ds.records)
+    ds.records[2].path = "/some/vids/8qsCZLEoA1Q_4000_14000.mp4"
+    removed = filter_too_short_videos(ds)
+    assert removed == 1 and len(ds.records) == n - 1
+    assert all("8qsCZLEoA1Q" not in r.path for r in ds.records)
+    # idempotent on a clean dataset
+    assert filter_too_short_videos(ds) == 0
+
+
 def test_loader_drop_last_false_pads_tail_with_mask():
     from synchformer_tpu.data.datasets import SyntheticAV
     from synchformer_tpu.data.pipeline import SyncDataLoader

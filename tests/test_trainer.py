@@ -110,7 +110,8 @@ def test_sync_trainer_kill_and_resume(tmp_path):
 @pytest.mark.slow
 def test_sync_trainer_end_to_end(tmp_path):
     cfg = dict(TINY_CFG)
-    cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False)
+    cfg["logging"] = dict(logdir=str(tmp_path), log_code_state=False,
+                          log_frequency=1)
     trainer = SyncTrainer(cfg)
     train_ds = SyntheticAV("train", n_clips=16)
     valid_ds = SyntheticAV("valid", n_clips=8)
@@ -122,8 +123,19 @@ def test_sync_trainer_end_to_end(tmp_path):
     assert 0.0 <= results["test"]["accuracy_1"] <= 1.0
     # checkpoints were written
     assert trainer.ckpt.latest_step() is not None
-    # scalar logs exist
-    assert (trainer.logger.logdir / "scalars.jsonl").exists()
+    # per-iteration Data(t)/Batch(t)/throughput/LR telemetry at log_frequency
+    # (ref: scripts/train_sync.py:219-228; same meter set as Stage I)
+    import json
+
+    scalars = [json.loads(line) for line in
+               open(trainer.logger.logdir / "scalars.jsonl")]
+    tags = {s["tag"] for s in scalars}
+    assert {"train/data_time", "train/batch_time", "train/samples_per_s",
+            "train/lr", "train/loss_iter"} <= tags
+    n_train_iters = 16 // trainer.batch_size * 2  # 2 epochs
+    assert sum(s["tag"] == "train/samples_per_s" for s in scalars) == n_train_iters
+    assert all(s["value"] > 0 for s in scalars
+               if s["tag"] == "train/samples_per_s")
 
 
 def test_config_driven_tower_trainability(tmp_path):
