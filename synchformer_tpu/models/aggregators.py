@@ -59,11 +59,14 @@ class CLSPoolEncoderLayer(nn.Module):
             pos = self.param("pos_emb", trunc02, (1, 1 + self.pos_max_len, d))
             x = x + pos[:, : 1 + n].astype(x.dtype)
             x = nn.Dropout(self.pos_emb_drop)(x, deterministic=deterministic)
+        # Only the CLS row is returned, so the block computes just that row:
+        # Q/attention/MLP/residual restricted to row 0, K/V over all tokens —
+        # exact (row-wise ops), ~6x cheaper at the spatial aggregator's shape.
         x = PreLNBlock(
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
             ln_eps=self.ln_eps, attn_dropout=self.dropout, resid_dropout=self.dropout,
             dtype=self.dtype, impl=self.impl, name="block",
-        )(x, keep_mask=keep_mask, deterministic=deterministic)
+        )(x, keep_mask=keep_mask, deterministic=deterministic, query_rows=1)
         return x[:, 0, :]
 
 

@@ -214,3 +214,47 @@ def test_avclip_tiny_loss(rng):
     assert out["rgb_features"][0].shape == (6, D)
     # logit scale is clamped
     assert 0.001 <= float(out["logit_scales"][0]) <= 0.5
+
+
+def test_preln_block_query_rows_matches_full(rng):
+    """CLS-pooling specialization: PreLNBlock(query_rows=1) must equal row 0
+    of the full block exactly (row-wise MLP/residual; attention keys over all
+    tokens), with and without a keep mask, and must declare the IDENTICAL
+    param tree (checkpoint compatibility of the aggregators)."""
+    from synchformer_tpu.models.layers import PreLNBlock
+
+    x = jnp.asarray(rng.standard_normal((3, 9, D)).astype(np.float32))
+    blk = PreLNBlock(num_heads=HEADS, ln_eps=1e-6)
+    vs = blk.init(jax.random.PRNGKey(0), x)
+
+    full = blk.apply(vs, x)
+    cls = blk.apply(vs, x, query_rows=1)
+    assert cls.shape == (3, 1, D)
+    np.testing.assert_allclose(np.asarray(cls[:, 0]), np.asarray(full[:, 0]),
+                               rtol=2e-5, atol=2e-6)
+
+    keep = np.ones((3, 9), bool)
+    keep[:, 4:6] = False
+    keep = jnp.asarray(keep)
+    full_m = blk.apply(vs, x, keep_mask=keep)
+    cls_m = blk.apply(vs, x, keep_mask=keep, query_rows=1)
+    np.testing.assert_allclose(np.asarray(cls_m[:, 0]),
+                               np.asarray(full_m[:, 0]),
+                               rtol=2e-5, atol=2e-6)
+
+    # initializing THROUGH the query_rows path yields the same tree
+    vs_q = blk.init(jax.random.PRNGKey(0), x, query_rows=1)
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(vs_q))
+    for a, b in zip(jax.tree_util.tree_leaves(vs),
+                    jax.tree_util.tree_leaves(vs_q)):
+        assert a.shape == b.shape
+
+    # the pallas impl flag routes query_rows through the same (XLA) math
+    blk_p = PreLNBlock(num_heads=HEADS, ln_eps=1e-6, impl="pallas")
+    vs_p = blk_p.init(jax.random.PRNGKey(0), x, query_rows=1)
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(vs_p))
+    cls_p = blk_p.apply(vs, x, query_rows=1)
+    np.testing.assert_allclose(np.asarray(cls_p), np.asarray(cls),
+                               rtol=1e-6, atol=1e-7)
