@@ -4,6 +4,7 @@ all-gather negatives."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from synchformer_tpu.models.sync_model import Synchformer
 from synchformer_tpu.models.avclip import AVCLIP
@@ -131,6 +132,16 @@ def test_avclip_gathered_negatives_match_global_batch(rng):
 
 
 def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8, full_dims=False)
+
+
+@pytest.mark.slow
+def test_graft_entry_dryrun_full_dims():
+    """The driver's exact invocation: the REAL tower dims (d=768, depth 12,
+    12 heads — production TP-sharded kernel shapes) at tiny spatial extents,
+    one full Stage-II train step on the 4x2 ('data','model') mesh."""
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
