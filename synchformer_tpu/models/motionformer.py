@@ -80,7 +80,7 @@ class DividedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, num_frames: int, mode: str, keep_mask=None,
-                 deterministic: bool = True, ln=None):
+                 deterministic: bool = True, ln=None, residual=None):
         """ln: optional (scale, bias) of the block's pre-attention LayerNorm.
         When given, x is the RAW block input and the normalization happens
         here — fused into the pallas megakernel on the pallas path, manual
@@ -90,13 +90,21 @@ class DividedAttention(nn.Module):
         layout that keeps the pallas kernels free of misaligned frame-slab
         relayouts (the tower drops CLS at the end, so nothing ever needs the
         concatenated sequence). Tuple in -> tuple out. Pallas-only path;
-        callers fall back to the packed layout for keep-masks/XLA."""
+        callers fall back to the packed layout for keep-masks/XLA.
+
+        residual: optional (cls, patches) tuple to ADD to the projected
+        attention output — split/pallas path only, and only when the
+        stochastic pieces (proj dropout / the caller's drop-path) are
+        inactive. Fuses the output projection + residual add into the
+        attention kernel epilogue (the raw attention output never
+        round-trips to HBM) and returns the post-residual (cls, patches)."""
         if isinstance(x, tuple):
             x_cls, x_patch = x
             b, f, n, d = x_patch.shape
             h = self.num_heads
             assert self.attn_impl in ("pallas", "pallas_fused") and keep_mask is None
             from synchformer_tpu.ops.pallas.divided_attention_bwd import (
+                divided_attention_proj_split,
                 divided_attention_split,
             )
 
@@ -106,6 +114,16 @@ class DividedAttention(nn.Module):
                 x_patch = layer_norm(x_patch, ln[0], ln[1], self.ln_eps, self.dtype)
             qkv_c = dense(x_cls, qkv_kernel, qkv_bias, self.dtype)
             qkv_p = dense(x_patch, qkv_kernel, qkv_bias, self.dtype)
+            if residual is not None:
+                # the encoder only takes the split flow at 128-lane-aligned
+                # head groupings (use_split's `groupable`), which is exactly
+                # the fused kernel's own precondition
+                assert deterministic or self.proj_dropout == 0.0
+                proj_kernel, proj_bias = DenseParams(d, d, name="proj")()
+                y_p, y_c = divided_attention_proj_split(
+                    qkv_p, qkv_c, residual[1], residual[0],
+                    proj_kernel, proj_bias, h, mode)
+                return (y_c, y_p)
             out_p, out_c = divided_attention_split(qkv_p, qkv_c, h, mode)
             proj = nn.Dense(d, dtype=self.dtype, name="proj")
             drop = nn.Dropout(self.proj_dropout)
@@ -251,6 +269,14 @@ class DividedSpaceTimeBlock(nn.Module):
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
         split = isinstance(x, tuple)
         d = (x[1] if split else x).shape[-1]
+        # fused proj+residual epilogue on the deterministic inference /
+        # frozen-tower path only: the attention output projection and
+        # residual add run inside the attention kernel. Training keeps the
+        # unfused path even when the stochastic rates are 0 — its dedicated
+        # pallas backward avoids the fused VJP's extra attention-forward
+        # recompute under remat.
+        fuse_proj = (split and self.attn_impl == "pallas"
+                     and keep_mask is None and deterministic)
         # LN params are declared here (same tree as nn.LayerNorm) and handed
         # to the attention, which fuses the normalization into its kernel on
         # the pallas path
@@ -259,17 +285,24 @@ class DividedSpaceTimeBlock(nn.Module):
             num_heads=self.num_heads, proj_dropout=self.dropout, dtype=self.dtype,
             attn_impl=self.attn_impl, ln_eps=self.ln_eps, name="timeattn",
         )(x, num_frames=self.num_frames, mode="time", keep_mask=keep_mask,
-          deterministic=deterministic, ln=ln3)
+          deterministic=deterministic, ln=ln3,
+          residual=(x if fuse_proj else None))
         # reference adds the time output without drop-path
-        x = ((x[0] + t_out[0], x[1] + t_out[1]) if split else x + t_out)
+        if fuse_proj:
+            x = t_out  # residual already added in the kernel epilogue
+        else:
+            x = ((x[0] + t_out[0], x[1] + t_out[1]) if split else x + t_out)
 
         ln1 = LNParams(d, name="norm1")()
         s_out = DividedAttention(
             num_heads=self.num_heads, proj_dropout=self.dropout, dtype=self.dtype,
             attn_impl=self.attn_impl, ln_eps=self.ln_eps, name="attn",
         )(x, num_frames=self.num_frames, mode="space", keep_mask=keep_mask,
-          deterministic=deterministic, ln=ln1)
-        if split:
+          deterministic=deterministic, ln=ln1,
+          residual=(x if fuse_proj else None))
+        if fuse_proj:
+            x = s_out  # drop-path inactive on this path by construction
+        elif split:
             s_out = self._drop_path_pair(s_out, deterministic)
             x = (x[0] + s_out[0], x[1] + s_out[1])
         else:

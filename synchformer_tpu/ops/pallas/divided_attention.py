@@ -427,6 +427,100 @@ def _kernel_4d(xp_ref, xc_ref, op_ref, oc_ref, *, mode: str, head_dim: int,
                               store=store)
 
 
+_PROJ3 = (((2,), (0,)), ((), ()))       # (f, n, K) @ (K, d) -> (f, n, d)
+
+
+def _kernel_4d_proj(xp_ref, xc_ref, xr_ref, w_ref, b_ref, op_ref, oc_ref,
+                    attn_ref, *, mode: str, head_dim: int, width: int,
+                    segs: int, d: int):
+    """4D kernel body + fused output-projection/residual epilogue.
+
+    Identical attention math to ``_kernel_4d``; the per-pair outputs land in
+    a bf16 VMEM scratch instead of HBM, then ONE frame-batched (f, n, D) @
+    (D, D) projection matmul + residual add emits the block output — the raw
+    attention output never round-trips to HBM (saves one write + two reads
+    of (B, f, n, D) per layer-call vs the XLA-fused epilogue). An earlier
+    variant projected each pair's (f, n, 128) slice immediately and
+    accumulated in an f32 scratch: the 6x read-modify-write of the (f, n, D)
+    f32 accumulator (~57 MB VMEM traffic/program) measured 13.0 vs 9.0 ms
+    for the unfused composition — one K=768 matmul at the end replaces it.
+    The CLS row (B, 1, D) stays raw; its projection is cheaper in XLA
+    outside."""
+    n_pairs = d // width
+    scale = jnp.asarray(head_dim ** -0.5, xp_ref.dtype)
+    masks = _lane_masks_v3(width, head_dim, xp_ref.dtype)
+    w = width
+    for s in range(segs):
+        for p in range(n_pairs):
+            qf = xp_ref[s, :, :, p * w:(p + 1) * w] * scale
+            kf = xp_ref[s, :, :, d + p * w:d + (p + 1) * w]
+            vf = xp_ref[s, :, :, 2 * d + p * w:2 * d + (p + 1) * w]
+            qc = xc_ref[s, :, p * w:(p + 1) * w] * scale
+            kc = xc_ref[s, :, d + p * w:d + (p + 1) * w]
+            vc = xc_ref[s, :, 2 * d + p * w:2 * d + (p + 1) * w]
+            oc_ref[s, :, p * w:(p + 1) * w] = _cls_row_4d(
+                qc, kc, vc, kf, vf, masks).astype(oc_ref.dtype)
+            if mode == "space":
+                out = _space_pair_v3(qf, kf, vf, kc, vc, masks, xp_ref.dtype)
+                attn_ref[:, :, p * w:(p + 1) * w] = out.astype(attn_ref.dtype)
+            else:
+                def store(g0, gw, out, p=p):
+                    attn_ref[:, g0:g0 + gw, p * w:(p + 1) * w] = (
+                        out.astype(attn_ref.dtype))
+                _time_pair_v3(qf, kf, vf, kc, vc, masks, xp_ref.dtype,
+                              store=store)
+        y = jax.lax.dot_general(attn_ref[...], w_ref[...], _PROJ3,
+                                preferred_element_type=jnp.float32)
+        op_ref[s] = xr_ref[s] + (
+            y + b_ref[0].astype(jnp.float32)).astype(op_ref.dtype)
+
+
+def divided_attention_proj_4d(qkv_patches: jnp.ndarray, qkv_cls: jnp.ndarray,
+                              res_patches: jnp.ndarray, wo: jnp.ndarray,
+                              bo: jnp.ndarray, num_heads: int, mode: str):
+    """Split-layout divided attention with the output projection + residual
+    fused into the kernel epilogue (patch tokens only).
+
+    Returns (patches_y (B, f, n, D) = res + proj(attn), cls_attn (B, 1, D)
+    RAW attention output — project + add the CLS residual outside).
+    Numerics: one K=D projection matmul on the bf16 attention output with
+    f32 accumulation + f32 bias, rounded once to the residual dtype for the
+    add — matches the module path (nn.Dense in bf16) to <=1 ulp."""
+    b, f, n, threed = qkv_patches.shape
+    d = threed // 3
+    dh = d // num_heads
+    hpg = max(1, 128 // dh)
+    width = hpg * dh
+    assert num_heads % hpg == 0 and width % 128 == 0, "use the packed kernel"
+    kernel = functools.partial(_kernel_4d_proj, mode=mode, head_dim=dh,
+                               width=width, segs=1, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, f, n, threed), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, threed), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, f, n, d), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, d), lambda bi: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, d), lambda bi: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, f, n, d), lambda bi: (bi, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, d), lambda bi: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, f, n, d), res_patches.dtype),
+                   jax.ShapeDtypeStruct((b, 1, d), qkv_patches.dtype)),
+        scratch_shapes=[pltpu.VMEM((f, n, d), qkv_patches.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv_patches, qkv_cls, res_patches, wo.astype(qkv_patches.dtype),
+      bo.reshape(1, d))
+
+
 def divided_attention_pallas_4d(qkv_patches: jnp.ndarray, qkv_cls: jnp.ndarray,
                                 num_heads: int, mode: str,
                                 segs_per_block: int = 1):

@@ -569,6 +569,78 @@ def _bwd_split(num_heads, mode, res, g):
 _divided_attention_split_vjp.defvjp(_fwd_split, _bwd_split)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _divided_attention_proj_split_vjp(qkv_patches, qkv_cls, res_patches,
+                                      res_cls, wo, bo, num_heads: int,
+                                      mode: str):
+    from synchformer_tpu.ops.pallas.divided_attention import (
+        divided_attention_proj_4d,
+    )
+
+    yp, attn_c = divided_attention_proj_4d(qkv_patches, qkv_cls, res_patches,
+                                           wo, bo, num_heads, mode)
+    yc = res_cls + (jnp.dot(attn_c, wo.astype(attn_c.dtype),
+                            preferred_element_type=jnp.float32)
+                    + bo).astype(res_cls.dtype)
+    return yp, yc
+
+
+def divided_attention_proj_split(qkv_patches, qkv_cls, res_patches, res_cls,
+                                 wo, bo, num_heads: int, mode: str):
+    """Split-layout divided attention with the output projection + residual
+    fused into the forward kernel (ops/pallas/divided_attention.py::
+    divided_attention_proj_4d): returns (y_patches, y_cls) = res + proj(attn).
+
+    The raw (B, f, n, D) attention output never round-trips to HBM — vs the
+    XLA epilogue this saves one write + two reads of it per layer-call.
+    Backward composes the existing 4D attention backward kernels with the
+    projection's matmul grads (the attention forward is recomputed for dWo —
+    cheaper than saving the output, and the fused path is deterministic-only
+    so gradients only flow through it in tests). Runs per data shard under an
+    active data mesh (see divided_attention)."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda qp, qc, rp, rc, w, b: _divided_attention_proj_split_vjp(
+            qp, qc, rp, rc, w, b, num_heads, mode),
+        batched=(0, 1, 2, 3), replicated=(4, 5), n_out=2)(
+        qkv_patches, qkv_cls, res_patches, res_cls, wo, bo)
+
+
+def _fwd_proj_split(qkv_p, qkv_c, res_p, res_c, wo, bo, num_heads, mode):
+    out = _divided_attention_proj_split_vjp(qkv_p, qkv_c, res_p, res_c,
+                                            wo, bo, num_heads, mode)
+    return out, (qkv_p, qkv_c, wo)
+
+
+def _bwd_proj_split(num_heads, mode, res, g):
+    from synchformer_tpu.ops.pallas.divided_attention import (
+        divided_attention_pallas_4d,
+    )
+
+    qkv_p, qkv_c, wo = res
+    gp, gc = g
+    d = wo.shape[0]
+    # proj grads: dA = g @ Wo^T; dWo = A^T @ g (A recomputed); dbo = sum g
+    wot = wo.astype(gp.dtype)
+    da_p = jax.lax.dot_general(gp, wot, (((3,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(gp.dtype)
+    da_c = jax.lax.dot_general(gc, wot, (((2,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(gc.dtype)
+    a_p, a_c = divided_attention_pallas_4d(qkv_p, qkv_c, num_heads, mode)
+    dwo = (jnp.dot(a_p.reshape(-1, d).T, gp.reshape(-1, d),
+                   preferred_element_type=jnp.float32)
+           + jnp.dot(a_c.reshape(-1, d).T, gc.reshape(-1, d),
+                     preferred_element_type=jnp.float32)).astype(wo.dtype)
+    dbo = (jnp.sum(gp.astype(jnp.float32), axis=(0, 1, 2))
+           + jnp.sum(gc.astype(jnp.float32), axis=(0, 1)))
+    dqkv_p, dqkv_c = _bwd_split(num_heads, mode, (qkv_p, qkv_c), (da_p, da_c))
+    return dqkv_p, dqkv_c, gp, gc, dwo, dbo
+
+
+_divided_attention_proj_split_vjp.defvjp(_fwd_proj_split, _bwd_proj_split)
+
+
 def _fwd(qkv, num_heads, num_frames, mode):
     return divided_attention_pallas(qkv, num_heads, num_frames, mode), qkv
 

@@ -51,6 +51,34 @@ def test_split_layout_forward_matches_xla(rng, mode):
 
 
 @pytest.mark.parametrize("mode", ["space", "time"])
+def test_fused_proj_residual_matches_xla(rng, mode):
+    """Fused output-projection + residual epilogue (the deterministic-path
+    kernel, ops/pallas/divided_attention.py::divided_attention_proj_4d):
+    module output with residual= == XLA path + manual residual add."""
+    f, n, heads, dh = 2, 8, 2, 64  # d=128 -> hpg=2, width=128: 4D path
+    seq, d = 1 + f * n, heads * dh
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, seq, d)).astype(np.float32))
+    res = jnp.asarray(rng.standard_normal((b, seq, d)).astype(np.float32))
+
+    attn_x = DividedAttention(num_heads=heads, attn_impl="xla")
+    variables = attn_x.init(jax.random.PRNGKey(0), x, f, mode)
+    golden = res + attn_x.apply(variables, x, f, mode)
+
+    attn_p = DividedAttention(num_heads=heads, attn_impl="pallas")
+    res_pair = (res[:, :1], res[:, 1:].reshape(b, f, n, d))
+    with pltpu.force_tpu_interpret_mode():
+        y_c, y_p = attn_p.apply(
+            variables, (x[:, :1], x[:, 1:].reshape(b, f, n, d)), f, mode,
+            residual=res_pair)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(golden[:, :1]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(y_p), np.asarray(golden[:, 1:].reshape(b, f, n, d)),
+        rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["space", "time"])
 def test_pallas_with_mask_falls_back_to_xla(rng, mode, caplog):
     """attn_impl='pallas' + keep_mask: the kernels are unmasked-only, so the
     module must route to the (masked) XLA path with identical numerics and a

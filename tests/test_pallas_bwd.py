@@ -85,6 +85,57 @@ def test_split_layout_grads_match_xla(rng, mode):
                                    rtol=5e-4, atol=5e-5, err_msg=str(path_x))
 
 
+@pytest.mark.parametrize("mode", ["space", "time"])
+def test_fused_proj_residual_grads_match_xla(rng, mode):
+    """Fused proj+residual epilogue: d(loss)/d(qkv-inputs, residual, proj
+    params) == jax.grad of the XLA path + manual residual (the custom-VJP
+    composes the 4D attention backward with the projection matmul grads)."""
+    f, n, heads, dh = 2, 8, 2, 64
+    seq, d = 1 + f * n, heads * dh
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, seq, d)).astype(np.float32))
+    res = jnp.asarray(rng.standard_normal((b, seq, d)).astype(np.float32))
+
+    attn_x = DividedAttention(num_heads=heads, attn_impl="xla")
+    variables = attn_x.init(jax.random.PRNGKey(0), x, f, mode)
+
+    def loss_xla(params, x, res):
+        out = res + attn_x.apply(params, x, f, mode)
+        return jnp.sum(jnp.sin(out))
+
+    g_params_x, g_x_x, g_r_x = jax.grad(loss_xla, argnums=(0, 1, 2))(
+        variables, x, res)
+
+    attn_p = DividedAttention(num_heads=heads, attn_impl="pallas")
+
+    def loss_fused(params, x_cls, x_patch, r_cls, r_patch):
+        y_c, y_p = attn_p.apply(params, (x_cls, x_patch), f, mode,
+                                residual=(r_cls, r_patch))
+        return jnp.sum(jnp.sin(y_c)) + jnp.sum(jnp.sin(y_p))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_params_p, g_c, g_p, g_rc, g_rp = jax.grad(
+            loss_fused, argnums=(0, 1, 2, 3, 4))(
+            variables, x[:, :1], x[:, 1:].reshape(b, f, n, d),
+            res[:, :1], res[:, 1:].reshape(b, f, n, d))
+
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_x_x[:, :1]),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x_x[:, 1:].reshape(b, f, n, d)),
+        rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(g_rc), np.asarray(g_r_x[:, :1]),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_rp), np.asarray(g_r_x[:, 1:].reshape(b, f, n, d)),
+        rtol=5e-4, atol=5e-5)
+    for (path_x, gx), (_, gp) in zip(
+            jax.tree_util.tree_leaves_with_path(g_params_x),
+            jax.tree_util.tree_leaves_with_path(g_params_p)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=5e-4, atol=5e-5, err_msg=str(path_x))
+
+
 def test_encoder_tower_grads_match_xla(rng):
     """Full 2-block tower: d(loss)/d(params) identical between impls."""
     params_cfg = dict(embed_dim=32, depth=2, num_heads=4, patch_size=8,
