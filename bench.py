@@ -15,6 +15,7 @@ probe script).
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -112,46 +113,52 @@ def measure_device_only(params, infer, batch: int, n_seg: int) -> float:
     return batch * n_iter / best
 
 
+# the two sample clips the reference publishes example outputs for
+# (ref: README.md:73-97) — the real-decode pipeline bench loops them
+REAL_CLIPS = [
+    "/root/reference/data/vggsound/h264_video_25fps_256side_16000hz_aac/3qesirWAGt4_20000_30000.mp4",
+    "/root/reference/data/vggsound/h264_video_25fps_256side_16000hz_aac/ZYc410CE4Rg_0_10000.mp4",
+]
+
+
 def measure_pipeline(params, infer_raw, batch: int, n_seg: int,
                      num_workers: int = 10, epochs: int = 2,
-                     n_clips: int = 64) -> dict:
-    """Sustained host->device throughput: synthetic decode (cached after the
-    warm epoch — the steady-state stand-in for a real decoder) -> host
-    geometry + avstage gather -> H2D -> jitted step, overlapped.
+                     n_clips: int = 64, decode: str = "synthetic") -> dict:
+    """Sustained host->device throughput: decode -> host geometry + avstage
+    gather -> double-buffered H2D staging -> jitted step, overlapped.
 
-    Warm epoch populates the decode cache and compiles; timed epochs measure
-    decode-cache-steady sustained clips/s + the host-wait split
-    (VERDICT r2 #1; ref: dataset/dataset_utils.py:75-85 decode,
-    scripts/train_utils.py:107-182 worker stack)."""
-    import jax
-
-    from synchformer_tpu.data.datasets import SyntheticAV
+    decode='synthetic' serves cached generated clips (decode-cache-steady —
+    the loader wall is pure geometry); decode='cv2' loops the reference's
+    two real mp4s through OpenCV so real decode cost is in the loop
+    (VERDICT r4 task #7). H2D runs in the StagedLoader's staging thread,
+    double-buffered, so transfer of batch k+1 overlaps the step of batch k
+    (VERDICT r4 task #3; SURVEY §7 hard part 4); h2d_frac reports the
+    staging thread's busy fraction — overlapped, no longer added to the
+    critical path."""
+    from synchformer_tpu.data.datasets import LocalClips, SyntheticAV
     from synchformer_tpu.data.pipeline import (
+        StagedLoader,
         SyncDataLoader,
         measure_pipeline_throughput,
     )
     from synchformer_tpu.data.transforms import SyncPipelineConfig
 
     cfg = SyncPipelineConfig(n_segments=n_seg)  # full size: 224^2, crop 5 s
-    ds = SyntheticAV("test", n_clips=n_clips)
-    loader = SyncDataLoader(ds, cfg, batch, num_workers=num_workers,
-                            shuffle=False, decode_backend="synthetic",
-                            prefetch=4)
+    if decode == "cv2":
+        ds = LocalClips(REAL_CLIPS, "test", n_clips=n_clips)
+    else:
+        ds = SyntheticAV("test", n_clips=n_clips)
+    loader = StagedLoader(
+        SyncDataLoader(ds, cfg, batch, num_workers=num_workers,
+                       shuffle=False, decode_backend=decode, prefetch=4),
+        depth=2)
 
-    last = {"h2d_s": 0.0, "h2d_bytes": 0}
+    last = {}
 
     def consume(b):
-        # time the H2D staging separately: on the remote axon tunnel
-        # device_put is effectively synchronous at tunnel bandwidth (~675 MB
-        # of uint8 frames per B=8 batch), and it — not the loader — is the
-        # sustained-pipeline wall in this environment (VERDICT r3 weak #2;
-        # CLAUDE.md "avoid transferring big arrays over the tunnel")
-        t_h = time.perf_counter()
-        video = jax.device_put(b["video"])
-        pcm = jax.device_put(b["audio"])
-        last["h2d_s"] += time.perf_counter() - t_h
-        last["h2d_bytes"] += b["video"].nbytes + b["audio"].nbytes
-        last["out"] = infer_raw(params, video, pcm)
+        # arrays are already on device (StagedLoader staged them in its own
+        # thread); this only dispatches the async step
+        last["out"] = infer_raw(params, b["video"], b["audio"])
 
     def sync():
         np.asarray(last["out"])
@@ -164,18 +171,50 @@ def measure_pipeline(params, infer_raw, batch: int, n_seg: int,
     print(f"[bench] pipeline warm epoch {time.perf_counter() - t0:.0f}s",
           file=sys.stderr, flush=True)
 
-    last["h2d_s"] = 0.0
-    last["h2d_bytes"] = 0
+    loader.reset_stats()
     stats = measure_pipeline_throughput(loader, consume, epochs=epochs,
                                         sync=sync)
-    stats["h2d_frac"] = last["h2d_s"] / stats["total_s"]
-    stats["h2d_mb_per_s"] = (last["h2d_bytes"] / 1e6 / last["h2d_s"]
-                             if last["h2d_s"] > 0 else 0.0)
+    stats["h2d_frac"] = loader.h2d_s / stats["total_s"]
+    stats["h2d_mb_per_s"] = (loader.h2d_bytes / 1e6 / loader.h2d_s
+                             if loader.h2d_s > 0 else 0.0)
     return stats
+
+
+def measure_train_steps() -> dict:
+    """Best-of-3 Stage-I / Stage-II train-step timing (VERDICT r4 task #4:
+    train perf must live in the bench record, not CLAUDE.md prose — the
+    reference meters its train step every iter, ref:
+    scripts/train_sync.py:219-228)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    import profile_tpu
+
+    out = {}
+    for mode, batch, key in (("stage1", 2, "stage1"), ("stage2", 16, "stage2")):
+        run, (_, b) = getattr(profile_tpu, f"build_{mode}")(batch)
+        profile_tpu._sync(run())  # compile + warm
+        n_iter = 5
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                o = run()
+            profile_tpu._sync(o)
+            best = min(best, time.perf_counter() - t0)
+        out[f"{key}_step_ms"] = round(best / n_iter * 1000, 1)
+        out[f"{key}_samples_per_sec"] = round(b * n_iter / best, 2)
+        print(f"[bench] {key}: {out[f'{key}_step_ms']} ms/step "
+              f"({out[f'{key}_samples_per_sec']} samples/s)",
+              file=sys.stderr, flush=True)
+    return out
 
 
 def main():
     pipeline_only = "--pipeline" in sys.argv
+    decode = "synthetic"
+    for a in sys.argv[1:]:
+        if a.startswith("--decode="):
+            decode = a.split("=", 1)[1]
     wait_for_tpu()
     import jax
 
@@ -188,12 +227,13 @@ def main():
     params, infer, infer_raw = _build_model_and_infer(batch, n_seg)
 
     if pipeline_only:
-        stats = measure_pipeline(params, infer_raw, batch, n_seg)
+        stats = measure_pipeline(params, infer_raw, batch, n_seg, decode=decode)
         print(json.dumps({
             "metric": "pipeline_clips_per_sec_per_chip",
             "value": round(stats["clips_per_sec"], 3),
             "unit": "clips/s",
             "vs_baseline": round(stats["clips_per_sec"] / CPU_BASELINE_CLIPS_PER_SEC, 2),
+            "decode": decode,
             "host_wait_frac": round(stats["host_wait_frac"], 3),
             "h2d_frac": round(stats["h2d_frac"], 3),
             "h2d_mb_per_s": round(stats["h2d_mb_per_s"], 1),
@@ -207,20 +247,31 @@ def main():
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / CPU_BASELINE_CLIPS_PER_SEC, 2),
     }
-    # sustained host->device pipeline (decode -> geometry/avstage -> H2D ->
-    # step, overlapped) as extra keys on the same single JSON line
+    # sustained host->device pipeline (decode -> geometry/avstage -> staged
+    # double-buffered H2D -> step, all overlapped) as extra keys; with real
+    # cv2 decode in the loop when the reference's sample clips are present
     try:
-        stats = measure_pipeline(params, infer_raw, batch, n_seg)
+        pipe_decode = decode
+        if pipe_decode == "synthetic" and all(os.path.exists(p) for p in REAL_CLIPS):
+            pipe_decode = "cv2"
+        stats = measure_pipeline(params, infer_raw, batch, n_seg,
+                                 decode=pipe_decode)
         record["pipeline_clips_per_sec"] = round(stats["clips_per_sec"], 3)
-        # wall attribution (VERDICT r3 weak #2): loader wait (decode+host
-        # geometry), H2D staging (on the remote axon tunnel this is the wall
-        # — device_put rides a ~55 MB/s link; on a co-located host it would
-        # overlap), device drain tail. See README "Benchmarks".
+        record["pipeline_decode"] = pipe_decode
+        # wall attribution (VERDICT r3 weak #2): host_wait = blocked on the
+        # staged loader (decode + host geometry + any un-overlapped H2D);
+        # h2d_frac = staging-thread busy fraction, OVERLAPPED with compute
+        # since round 5 (StagedLoader double-buffering, VERDICT r4 task #3)
         record["pipeline_host_wait_frac"] = round(stats["host_wait_frac"], 3)
         record["pipeline_h2d_frac"] = round(stats["h2d_frac"], 3)
         record["pipeline_h2d_mb_per_s"] = round(stats["h2d_mb_per_s"], 1)
     except Exception as e:  # the headline metric must still print
         record["pipeline_error"] = str(e)[:200]
+    # Stage-I/II train-step perf rides the same record (VERDICT r4 task #4)
+    try:
+        record.update(measure_train_steps())
+    except Exception as e:
+        record["train_error"] = str(e)[:200]
     print(json.dumps(record))
 
 

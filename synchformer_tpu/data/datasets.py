@@ -483,6 +483,26 @@ class AudioSetBalanced540k(_BalancedAudioSet):
 # synthetic dataset (tests / benchmarks; no media files required)
 # ---------------------------------------------------------------------------
 
+@register("synchformer_tpu.data.datasets.LocalClips")
+class LocalClips(AVClipDataset):
+    """An explicit list of local media files, cycled to ``n_clips`` items.
+
+    Drives real decode through the pipeline without dataset metadata — e.g.
+    bench.py --decode=cv2 loops the reference's two shipped sample mp4s
+    (the clips ref: README.md:73-97 publishes example outputs for)."""
+
+    def __init__(self, paths, split: str = "test", n_clips: int = None,
+                 max_clip_len_sec: float = None, **_unused):
+        super().__init__()
+        self.split = split
+        paths = [str(p) for p in paths]
+        if not paths:
+            raise ValueError("LocalClips needs at least one path")
+        n = n_clips or len(paths)
+        self.records = [ClipRecord(paths[i % len(paths)]) for i in range(n)]
+        self.max_clip_len_sec = max_clip_len_sec
+
+
 @register("synchformer_tpu.data.datasets.SyntheticAV")
 class SyntheticAV(AVClipDataset):
     """Deterministic generated clips, decoded by media.py's synthetic backend.

@@ -7,7 +7,10 @@ host/native concern — this module picks the best available backend:
 1. PyAV (``av``) — in-process libav decode
 2. ``ffmpeg`` binary — rawvideo/pcm pipes (also used for re-encoding, the
    equivalent of example.py's reencode_video)
-3. synthetic — deterministic generated AV used by tests/benchmarks when no
+3. OpenCV (``cv2``) — video track only: cv2 has no audio demuxer and this
+   image ships no AAC decoder (no soundfile/librosa/torchaudio), so the PCM
+   side is zero-filled with a loud warning
+4. synthetic — deterministic generated AV used by tests/benchmarks when no
    decoder exists in the image
 
 Outputs channels-LAST uint8 video (Tv, H, W, C) + mono float32 PCM (Ta,),
@@ -40,6 +43,12 @@ def available_backends():
         pass
     if shutil.which("ffmpeg"):
         out.append("ffmpeg")
+    try:
+        import cv2  # noqa: F401
+
+        out.append("cv2")
+    except ImportError:
+        pass
     out.append("synthetic")
     return out
 
@@ -115,6 +124,42 @@ def _decode_ffmpeg(path: str, end_sec: Optional[float]) -> Tuple[np.ndarray, np.
                           "audio": {"framerate": meta["audio"]["framerate"]}}
 
 
+def _decode_cv2(path: str, end_sec: Optional[float]) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Video-track decode via OpenCV (BGR -> RGB), zero-filled PCM.
+
+    cv2.VideoCapture demuxes+decodes the h264 track of the reference's
+    published clips (ref: dataset/dataset_utils.py:75-85 decodes both
+    tracks; README.md:73-82 names 3qesirWAGt4_20000_30000.mp4). Audio is
+    AAC, which nothing in this image can decode — the waveform is
+    zero-filled at 16 kHz so the downstream shapes stay honest, and a
+    warning is emitted every call (not once) because silently-silent audio
+    would corrupt any training run that reached it."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cv2 failed to open {path}")
+    fps = float(cap.get(cv2.CAP_PROP_FPS)) or 25.0
+    max_frames = None if end_sec is None else int(round(end_sec * fps)) + 1
+    frames = []
+    while max_frames is None or len(frames) < max_frames:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame[..., ::-1])  # BGR -> RGB
+    cap.release()
+    if not frames:
+        raise RuntimeError(f"cv2 decoded zero frames from {path}")
+    video = np.ascontiguousarray(np.stack(frames)).astype(np.uint8)
+    a_rate = 16_000.0
+    audio = np.zeros(int(len(video) / fps * a_rate), np.float32)
+    logging.warning(
+        "cv2 backend decoded VIDEO ONLY for %s — AAC audio has no in-image "
+        "decoder; PCM is zero-filled (do NOT train on this)", path)
+    meta = {"video": {"fps": [fps]}, "audio": {"framerate": [a_rate]}}
+    return video, audio, meta
+
+
 def synthetic_av(duration_sec: float = 10.0, fps: float = 25.0,
                  sample_rate: float = 16_000.0, side: int = 256,
                  seed: int = 0) -> Tuple[np.ndarray, np.ndarray, Dict]:
@@ -161,6 +206,8 @@ def get_video_and_audio(path: str, end_sec: Optional[float] = None,
         return _decode_pyav(path, end_sec)
     if backend == "ffmpeg":
         return _decode_ffmpeg(path, end_sec)
+    if backend == "cv2":
+        return _decode_cv2(path, end_sec)
     if backend == "synthetic":
         return _synthetic_cached(str(path))
     raise ValueError(f"unknown backend {backend}")

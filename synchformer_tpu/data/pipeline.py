@@ -157,6 +157,91 @@ class SyncDataLoader:
             stop.set()
 
 
+class StagedLoader:
+    """Wrap a loader so batches arrive already ON DEVICE, double-buffered.
+
+    A staging thread pulls host batches from the wrapped loader and
+    ``jax.device_put``s the device-bound keys into a bounded queue of
+    ``depth`` slots, so the H2D transfer of batch k+1 rides under the device
+    compute of batch k instead of serializing with it (VERDICT r4 weak #2 /
+    task #3; SURVEY §7 hard part 4 — the TPU-shaped equivalent of the
+    reference's pin_memory + non_blocking copies, ref:
+    scripts/train_utils.py:359-371).
+
+    ``h2d_s`` accumulates the staging thread's busy time (on the axon tunnel
+    device_put is effectively synchronous, so this is real transfer time —
+    but it is now OVERLAPPED with compute, not added to it) and
+    ``h2d_bytes`` the staged volume, for bench attribution.
+    """
+
+    def __init__(self, loader, depth: int = 2,
+                 device_keys=("video", "audio"), sharding=None):
+        self.loader = loader
+        self.depth = depth
+        self.device_keys = device_keys
+        self.sharding = sharding
+        self.h2d_s = 0.0
+        self.h2d_bytes = 0
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def reset_stats(self):
+        self.h2d_s = 0.0
+        self.h2d_bytes = 0
+
+    def __iter__(self):
+        import time
+
+        import jax
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def put(x):
+            return (jax.device_put(x, self.sharding)
+                    if self.sharding is not None else jax.device_put(x))
+
+        def stager():
+            try:
+                for b in self.loader:
+                    if stop.is_set():
+                        return
+                    t0 = time.perf_counter()
+                    staged = dict(b)
+                    for k in self.device_keys:
+                        if k in staged:
+                            self.h2d_bytes += staged[k].nbytes
+                            staged[k] = put(staged[k])
+                    self.h2d_s += time.perf_counter() - t0
+                    out_q.put(staged)
+            except Exception as e:  # propagate to the consumer
+                out_q.put(e)
+                return
+            out_q.put(None)
+
+        thread = threading.Thread(target=stager, daemon=True)
+        thread.start()
+        try:
+            while True:
+                got = out_q.get()
+                if got is None:
+                    return
+                if isinstance(got, Exception):
+                    raise got
+                yield got
+        finally:
+            stop.set()
+            # unblock a stager stuck on a full queue so the thread can exit
+            try:
+                out_q.get_nowait()
+            except queue.Empty:
+                pass
+
+
 def measure_pipeline_throughput(loader, consume, epochs: int = 1,
                                 sync=None) -> Dict[str, float]:
     """Drive ``loader -> consume`` overlapped and measure sustained

@@ -88,3 +88,83 @@ def test_measure_pipeline_throughput_overlap():
     assert stats["clips_per_sec"] > 0
     # consumer-bound: the loader produced batches while consume slept
     assert stats["host_wait_frac"] < 0.6
+
+
+def test_staged_loader_double_buffers_h2d():
+    """StagedLoader (bench.py pipeline path): device-bound keys arrive as
+    committed jax arrays, other keys pass through untouched, order is
+    preserved, stats accumulate, and staging runs ahead of a slow consumer
+    (the double-buffering that overlaps H2D with compute, VERDICT r4 #3)."""
+    import time
+
+    import jax
+
+    from synchformer_tpu.data.pipeline import StagedLoader
+
+    batches = [{"video": np.full((2, 3), i, np.uint8),
+                "audio": np.ones((2, 4), np.float32),
+                "index": np.arange(2) + i} for i in range(4)]
+
+    class StubLoader:
+        def __init__(self):
+            self.epoch = None
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __len__(self):
+            return len(batches)
+
+        def __iter__(self):
+            return iter(batches)
+
+    stub = StubLoader()
+    staged = StagedLoader(stub, depth=2)
+    staged.set_epoch(3)
+    assert stub.epoch == 3 and len(staged) == 4
+
+    seen = []
+    for b in staged:
+        assert isinstance(b["video"], jax.Array)
+        assert isinstance(b["audio"], jax.Array)
+        assert isinstance(b["index"], np.ndarray)  # not a device key
+        seen.append(int(np.asarray(b["video"])[0, 0]))
+        time.sleep(0.02)  # slow consumer: stager fills its slots meanwhile
+    assert seen == [0, 1, 2, 3]
+    assert staged.h2d_bytes == sum(b["video"].nbytes + b["audio"].nbytes
+                                   for b in batches)
+    assert staged.h2d_s > 0
+    staged.reset_stats()
+    assert staged.h2d_s == 0.0 and staged.h2d_bytes == 0
+    # the source batches were not mutated (StagedLoader copies the dict)
+    assert isinstance(batches[0]["video"], np.ndarray)
+
+
+def test_staged_loader_propagates_producer_errors():
+    from synchformer_tpu.data.pipeline import StagedLoader
+
+    class BadLoader:
+        def __iter__(self):
+            yield {"video": np.zeros((1,), np.uint8)}
+            raise RuntimeError("decode exploded")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        for _ in StagedLoader(BadLoader(), depth=1):
+            pass
+
+
+def test_local_clips_cycles_paths():
+    from synchformer_tpu.data.datasets import LocalClips
+
+    ds = LocalClips(["/a.mp4", "/b.mp4"], "test", n_clips=5)
+    assert len(ds) == 5
+    assert [r.path for r in ds.records] == \
+        ["/a.mp4", "/b.mp4", "/a.mp4", "/b.mp4", "/a.mp4"]
+    assert ds.split == "test" and ds.max_clip_len_sec is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        LocalClips([], "test")
