@@ -515,7 +515,7 @@ def divided_attention_proj_4d(qkv_patches: jnp.ndarray, qkv_cls: jnp.ndarray,
                    jax.ShapeDtypeStruct((b, 1, d), qkv_patches.dtype)),
         scratch_shapes=[pltpu.VMEM((f, n, d), qkv_patches.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qkv_patches, qkv_cls, res_patches, wo.astype(qkv_patches.dtype),
       bo.reshape(1, d))
@@ -561,7 +561,7 @@ def divided_attention_pallas_4d(qkv_patches: jnp.ndarray, qkv_cls: jnp.ndarray,
         out_shape=(jax.ShapeDtypeStruct((b, f, n, d), qkv_patches.dtype),
                    jax.ShapeDtypeStruct((b, 1, d), qkv_patches.dtype)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qkv_patches, qkv_cls)
 
@@ -591,7 +591,7 @@ def _divided_attention_pallas_v3(qkv, num_heads: int, num_frames: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, seq, d), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qkv)
 

@@ -258,3 +258,31 @@ def test_preln_block_query_rows_matches_full(rng):
     cls_p = blk_p.apply(vs, x, query_rows=1)
     np.testing.assert_allclose(np.asarray(cls_p), np.asarray(cls),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_fold_video_normalize_matches_normalize_then_conv(rng):
+    """fold_video_normalize: raw uint8 frames through the folded tower ==
+    prepare_video_batch -> unfolded tower (the inference-path constant fold
+    that removes the normalized-float materialization; exact in f32)."""
+    from synchformer_tpu.ops.video import fold_video_normalize, prepare_video_batch
+
+    model = MotionFormerEncoder(**TINY_VIS["params"])
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 3, 4, 16, 16, 3)).astype(np.uint8))
+    variables = model.init(jax.random.PRNGKey(0),
+                           prepare_video_batch(u8, train=False))
+    # non-degenerate patchify (zero-init by reference parity)
+    noise = np.random.default_rng(1)
+    variables = jax.tree.map(
+        lambda p: p + (0.05 * noise.standard_normal(p.shape)).astype(p.dtype),
+        variables)
+
+    ref_out, _ = model.apply(variables, prepare_video_batch(u8, train=False))
+    folded = fold_video_normalize(variables, tower=None)
+    # the fold is applied to v_encoder by default; tiny test uses the raw tree
+    got_out, _ = model.apply(folded, u8.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    # originals untouched
+    assert float(jnp.abs(
+        variables["params"]["patch_embed_3d"]["kernel"]
+        - folded["params"]["patch_embed_3d"]["kernel"]).max()) > 0
