@@ -48,19 +48,25 @@ def build_e2e(batch: int):
     from synchformer_tpu.models.presets import build_synchformer
     from synchformer_tpu.ops.mel import log_mel_spectrogram
 
+    from synchformer_tpu.ops.video import fold_video_normalize
+
     n_seg = 14
     model = build_synchformer(n_segments=n_seg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    vis = jnp.asarray(rng.standard_normal(
-        (batch, n_seg, 16, 224, 224, 3)).astype(np.float32))
+    # production eval path (same as bench.py): raw uint8 frames, the video
+    # normalization affine constant-folded into the patchify conv
+    vis = jnp.asarray(rng.integers(0, 256, (batch, n_seg, 16, 224, 224, 3),
+                                   dtype=np.uint8))
     pcm = jnp.asarray((rng.standard_normal(
         (batch, n_seg, 10240)) * 0.1).astype(np.float32))
-    params = _fake_params(model, vis, jnp.zeros((batch, n_seg, 66, 128)))
+    params = _fake_params(model, jnp.zeros((batch, n_seg, 16, 224, 224, 3)),
+                          jnp.zeros((batch, n_seg, 66, 128)))
+    params = fold_video_normalize(params)
 
     @jax.jit
     def infer(params, vis, pcm):
         mel = log_mel_spectrogram(pcm)
-        aud = jnp.swapaxes(mel, -1, -2)
+        aud = jnp.swapaxes(mel, -1, -2).astype(jnp.bfloat16)
         _, logits = model.apply(params, vis, aud)
         return jax.nn.softmax(logits.astype(jnp.float32), -1)
 
