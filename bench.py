@@ -66,18 +66,21 @@ def _build_model_and_infer(batch: int, n_seg: int):
                              jnp.zeros((batch, n_seg, 66, 128))),
         jax.random.PRNGKey(0))
     params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes)
-    # production eval path: raw uint8 frames + raw PCM in. The video
-    # normalization affine is constant-folded into the patchify conv
-    # (ops/video.py::fold_video_normalize), so the uint8 volume feeds the
-    # tower through one fusible convert — no normalized-float
-    # materialization, no relayout copy (342.3 -> 339.0 ms/iter measured)
+    # production eval path: patch-major uint8 video + raw PCM in. The video
+    # normalization affine is constant-folded into the patchify conv weights
+    # (ops/video.py::fold_video_normalize; 342.3 -> 339.0 ms/iter), and the
+    # frames arrive pre-patchified from the loader (avstage.patchify_u8 in
+    # the staging thread — a ~0.12 s/batch byte shuffle that overlaps device
+    # compute), so the 3D patch conv becomes one dense MXU matmul: no
+    # batch-in-sublanes input relayout, no strided-window fusion
+    # (339.0 -> 333.7 ms/iter measured; see CLAUDE.md round-5 findings)
     params = fold_video_normalize(params)
 
     @jax.jit
-    def infer(params, video_u8, pcm):
+    def infer(params, video_u8_patches, pcm):
         mel = log_mel_spectrogram(pcm)           # (B, S, 128, 66)
         aud = jnp.swapaxes(mel, -1, -2).astype(jnp.bfloat16)
-        _, logits = model.apply(params, video_u8, aud)
+        _, logits = model.apply(params, video_u8_patches, aud)
         return jax.nn.softmax(logits.astype(jnp.float32), -1)
 
     return params, infer, infer
@@ -86,9 +89,11 @@ def _build_model_and_infer(batch: int, n_seg: int):
 def measure_device_only(params, infer, batch: int, n_seg: int) -> float:
     import jax.numpy as jnp
 
+    from synchformer_tpu.data.avstage import patchify_u8
+
     rng = np.random.default_rng(0)
-    vis = jnp.asarray(rng.integers(0, 256, (batch, n_seg, 16, 224, 224, 3),
-                                   dtype=np.uint8))
+    vis = jnp.asarray(patchify_u8(
+        rng.integers(0, 256, (batch, n_seg, 16, 224, 224, 3), dtype=np.uint8)))
     pcm = jnp.asarray((rng.standard_normal((batch, n_seg, 10240)) * 0.1).astype(np.float32))
     # compile + warmup (force sync via host transfer: the axon platform's
     # block_until_ready does not wait for remote completion)
@@ -145,10 +150,18 @@ def measure_pipeline(params, infer_raw, batch: int, n_seg: int,
         ds = LocalClips(REAL_CLIPS, "test", n_clips=n_clips)
     else:
         ds = SyntheticAV("test", n_clips=n_clips)
+    from synchformer_tpu.data.avstage import patchify_u8
+
+    def to_patch_major(b):
+        # dense-patch-embed input format (see _build_model_and_infer); runs
+        # in the staging thread, overlapped with device compute
+        b["video"] = patchify_u8(b["video"])
+        return b
+
     loader = StagedLoader(
         SyncDataLoader(ds, cfg, batch, num_workers=num_workers,
                        shuffle=False, decode_backend=decode, prefetch=4),
-        depth=2)
+        depth=2, host_transform=to_patch_major)
 
     last = {}
 

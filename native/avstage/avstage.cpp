@@ -79,6 +79,61 @@ void avstage_gather_video_u8(const uint8_t* src, int64_t T, int64_t H, int64_t W
     for (auto& th : pool) th.join();
 }
 
+// Patchify frames for the dense patch embed (host-side im2col of the 3D
+// patch conv; see synchformer_tpu/ops/video.py::patchify_frames):
+//   src: (N, T, H, W, C) uint8, contiguous   (N = B*S folded)
+//   dst: (N, T/z, (H/p)*(W/p), z*p*p*C) uint8, contiguous
+// Patch vector order (z, ph, pw, c) matches the conv kernel's
+// (z, p, p, c, D) flatten. Inner unit is a p*C-byte row memcpy; work is
+// distributed over (N) units on the thread pool.
+void avstage_patchify_u8(const uint8_t* src, int64_t N, int64_t T, int64_t H,
+                         int64_t W, int64_t C, int64_t z, int64_t p,
+                         uint8_t* dst, int num_threads) {
+    const int64_t f = T / z, gh = H / p, gw = W / p;
+    const int64_t row = p * C;                 // one patch row
+    const int64_t patch = z * p * row;         // z*p*p*C patch vector
+    const int64_t src_row = W * C;
+    const int64_t src_frame = H * src_row;
+    const int64_t src_item = T * src_frame;
+    const int64_t dst_item = f * gh * gw * patch;
+
+    auto work = [&](int64_t n_begin, int64_t n_end) {
+        for (int64_t n = n_begin; n < n_end; ++n) {
+            const uint8_t* s0 = src + n * src_item;
+            uint8_t* d0 = dst + n * dst_item;
+            // dst-contiguous order: each (gx) patch vector is written front
+            // to back (reads stride one frame row, stays in-page)
+            for (int64_t fi = 0; fi < f; ++fi)
+                for (int64_t gy = 0; gy < gh; ++gy) {
+                    const uint8_t* sblk = s0 + fi * z * src_frame
+                        + gy * p * src_row;
+                    uint8_t* dblk = d0 + (fi * gh + gy) * gw * patch;
+                    for (int64_t gx = 0; gx < gw; ++gx) {
+                        uint8_t* dp = dblk + gx * patch;
+                        for (int64_t dz = 0; dz < z; ++dz)
+                            for (int64_t py = 0; py < p; ++py)
+                                memcpy(dp + (dz * p + py) * row,
+                                       sblk + dz * src_frame + py * src_row
+                                           + gx * row,
+                                       row);
+                    }
+                }
+        }
+    };
+
+    int nt = num_threads > 0 ? num_threads : avstage_hw_threads();
+    if (nt <= 1 || N <= 1) { work(0, N); return; }
+    nt = static_cast<int>(N < nt ? N : nt);
+    std::vector<std::thread> pool;
+    const int64_t per = (N + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int64_t b = t * per, e = b + per < N ? b + per : N;
+        if (b >= e) break;
+        pool.emplace_back(work, b, e);
+    }
+    for (auto& th : pool) th.join();
+}
+
 // Gather audio segments: src (Ta,) f32 -> dst (S, seg_len) f32
 void avstage_gather_audio_f32(const float* src, const int64_t* starts, int64_t S,
                               int64_t seg_len, float* dst) {

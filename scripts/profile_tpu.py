@@ -53,10 +53,13 @@ def build_e2e(batch: int):
     n_seg = 14
     model = build_synchformer(n_segments=n_seg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    # production eval path (same as bench.py): raw uint8 frames, the video
-    # normalization affine constant-folded into the patchify conv
-    vis = jnp.asarray(rng.integers(0, 256, (batch, n_seg, 16, 224, 224, 3),
-                                   dtype=np.uint8))
+    # production eval path (same as bench.py): patch-major uint8 video
+    # (dense patch embed), the video normalization affine constant-folded
+    # into the patch-embed weights
+    from synchformer_tpu.data.avstage import patchify_u8
+
+    vis = jnp.asarray(patchify_u8(rng.integers(
+        0, 256, (batch, n_seg, 16, 224, 224, 3), dtype=np.uint8)))
     pcm = jnp.asarray((rng.standard_normal(
         (batch, n_seg, 10240)) * 0.1).astype(np.float32))
     params = _fake_params(model, jnp.zeros((batch, n_seg, 16, 224, 224, 3)),

@@ -52,6 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
                                   ctypes.POINTER(ctypes.c_int64))
     lib.avstage_gather_video_u8.argtypes = [u8p] + [i64] * 4 + [i64p] + [i64] * 6 \
         + [u8p, ctypes.c_int]
+    lib.avstage_patchify_u8.argtypes = [u8p] + [i64] * 7 + [u8p, ctypes.c_int]
     lib.avstage_gather_audio_f32.argtypes = [f32p, i64p, i64, i64, f32p]
     lib.avstage_pcm16_to_f32.argtypes = [i16p, f32p, i64]
     lib.avstage_pcm16_downmix_f32.argtypes = [i16p, f32p, i64, i64]
@@ -106,6 +107,37 @@ def gather_audio_segments(audio: np.ndarray, starts: np.ndarray, seg_len: int,
         audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         starts64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), s, seg_len,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def patchify_u8(frames: np.ndarray, z_block: int = 2, patch: int = 16,
+                num_threads: int = 0,
+                out: Optional[np.ndarray] = None) -> np.ndarray:
+    """(..., T, H, W, C) u8 -> (..., T//z, (H//p)*(W//p), z*p*p*C) patch-major.
+
+    Host-side im2col for the dense patch embed (multi-threaded memcpy rows in
+    C++; numpy transpose fallback). Identical output to
+    ops/video.py::patchify_frames — pinned by tests/test_avstage.py."""
+    *lead, t, h, w, c = frames.shape
+    f, gh, gw = t // z_block, h // patch, w // patch
+    n = int(np.prod(lead)) if lead else 1
+    shape = (*lead, f, gh * gw, z_block * patch * patch * c)
+    lib = _load()
+    if lib is None:
+        from synchformer_tpu.ops.video import patchify_frames
+
+        res = patchify_frames(frames, z_block=z_block, patch=patch)
+        if out is None:
+            return res
+        out[...] = res
+        return out
+    if out is None:
+        out = np.empty(shape, dtype=np.uint8)
+    frames = np.ascontiguousarray(frames)
+    lib.avstage_patchify_u8(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, t, h, w, c, z_block, patch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
     return out
 
 

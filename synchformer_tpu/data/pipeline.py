@@ -175,11 +175,17 @@ class StagedLoader:
     """
 
     def __init__(self, loader, depth: int = 2,
-                 device_keys=("video", "audio"), sharding=None):
+                 device_keys=("video", "audio"), sharding=None,
+                 host_transform=None):
         self.loader = loader
         self.depth = depth
         self.device_keys = device_keys
         self.sharding = sharding
+        # optional batch-dict -> batch-dict hook run in the staging thread
+        # BEFORE device_put (e.g. avstage.patchify_u8 of the video key for
+        # the dense patch embed) — overlapped with device compute like the
+        # H2D itself; its time is counted in h2d_s
+        self.host_transform = host_transform
         self.h2d_s = 0.0
         self.h2d_bytes = 0
 
@@ -212,6 +218,8 @@ class StagedLoader:
                         return
                     t0 = time.perf_counter()
                     staged = dict(b)
+                    if self.host_transform is not None:
+                        staged = self.host_transform(staged)
                     for k in self.device_keys:
                         if k in staged:
                             self.h2d_bytes += staged[k].nbytes

@@ -376,6 +376,31 @@ class DividedSpaceTimeBlock(nn.Module):
         return x
 
 
+class _PatchEmbedDense(nn.Module):
+    """patch_embed_3d applied to pre-patchified (patch-major) tokens.
+
+    Declares the SAME variables as the 3D-conv patch embed — kernel
+    (z, p, p, c, D) and bias (D,) — and applies them as one (z*p*p*c, D)
+    matmul; the flatten order (z, ph, pw, c) matches
+    ops/video.py::patchify_frames' patch-vector order, so the two input
+    ranks are numerically the same patch embedding (tested in
+    tests/test_models.py). Zero-init kernel per ref: video_model_builder.py:61.
+    """
+
+    features: int
+    kernel_shape: tuple  # (z, p, p, c)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (*self.kernel_shape, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.dot(x.astype(self.dtype),
+                    kernel.reshape(-1, self.features).astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 @register("synchformer_tpu.models.motionformer.MotionFormerEncoder",
           "model.modules.feat_extractors.visual.motionformer.MotionFormer")
 class MotionFormerEncoder(nn.Module):
@@ -426,24 +451,48 @@ class MotionFormerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True):
-        b, s, t_in, hh, ww, c = x.shape
         f = self.temporal_resolution
         gh = gw = self.grid_hw
         n_spatial = gh * gw
         d = self.embed_dim
 
-        flat = x.reshape(b * s, t_in, hh, ww, c).astype(self.dtype)
+        if x.ndim == 5:
+            # Pre-patchified input (B, S, f, n_spatial, z*p*p*c), patch-major
+            # (ops/video.py::patchify_frames) — the strided 3D patch conv
+            # becomes one dense MXU matmul. On TPU the conv lowering forces a
+            # batch-in-sublanes input relayout (1.75 ms/iter at B=8,S=14) and
+            # runs the strided-window fusion at ~2.2x its matmul floor
+            # (4.72 ms vs ~2.1); patchifying on the host (pure byte shuffle,
+            # rides the loader) removes both. Same param tree as the conv
+            # path (patch_embed_3d/{kernel,bias}), so checkpoints and
+            # fold_video_normalize work unchanged on either input rank.
+            b, s, f_in, n_in, pk = x.shape
+            assert f_in == f and n_in == n_spatial, (x.shape, f, n_spatial)
+            assert keep_mask is None, "keep_mask requires 6D frame input"
+            tokens = _PatchEmbedDense(
+                features=d,
+                kernel_shape=(self.z_block_size, self.patch_size,
+                              self.patch_size, pk // (self.z_block_size
+                                                      * self.patch_size ** 2)),
+                dtype=self.dtype, name="patch_embed_3d",
+            )(x.reshape(b * s, f, n_spatial, pk))
+            tokens = tokens.reshape(b * s, f * n_spatial, d)
+            t_in, c = f * self.z_block_size, pk // (self.z_block_size
+                                                    * self.patch_size ** 2)
+        else:
+            b, s, t_in, hh, ww, c = x.shape
+            flat = x.reshape(b * s, t_in, hh, ww, c).astype(self.dtype)
 
-        # 3D patch embed; reference zero-inits the conv kernel
-        # (ref: video_model_builder.py:61)
-        tokens = nn.Conv(
-            features=d,
-            kernel_size=(self.z_block_size, self.patch_size, self.patch_size),
-            strides=(self.z_block_size, self.patch_size, self.patch_size),
-            padding="VALID", dtype=self.dtype, kernel_init=nn.initializers.zeros,
-            name="patch_embed_3d",
-        )(flat)  # (BS, f, gh, gw, D)
-        tokens = tokens.reshape(b * s, f * n_spatial, d)  # frame-major ordering
+            # 3D patch embed; reference zero-inits the conv kernel
+            # (ref: video_model_builder.py:61)
+            tokens = nn.Conv(
+                features=d,
+                kernel_size=(self.z_block_size, self.patch_size, self.patch_size),
+                strides=(self.z_block_size, self.patch_size, self.patch_size),
+                padding="VALID", dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                name="patch_embed_3d",
+            )(flat)  # (BS, f, gh, gw, D)
+            tokens = tokens.reshape(b * s, f * n_spatial, d)  # frame-major ordering
 
         tok_keep = None
         if keep_mask is not None:

@@ -160,3 +160,29 @@ def fold_video_normalize(params, tower: str = "v_encoder",
         params["params"] = root
         return params
     return root
+
+
+def patchify_frames(x, z_block: int = 2, patch: int = 16):
+    """(..., T, H, W, C) frames -> (..., T//z, (H//p)*(W//p), z*p*p*C)
+    patch-major tokens for the dense patch embed (motionformer 5D input).
+
+    Pure byte shuffle (host-side im2col for the 3D patch conv): the patch
+    vector is flattened in (z, ph, pw, c) order, matching the conv kernel's
+    (z, p, p, c, D) flatten, so `tokens @ kernel.reshape(-1, D)` equals the
+    strided conv exactly. Works on numpy arrays (loader/staging side) and
+    jnp arrays alike; uint8 passes through untouched (the patch embed casts).
+
+    Why: on TPU the strided patch conv forces a batch-in-sublanes input
+    relayout and runs ~2.2x above its matmul floor; patch-major input turns
+    it into one clean MXU matmul (ref geometry: video_model_builder.py:61,
+    vit_helper.py:59-77).
+    """
+    *lead, t, h, w, c = x.shape
+    f, gh, gw = t // z_block, h // patch, w // patch
+    assert t == f * z_block and h == gh * patch and w == gw * patch, x.shape
+    x = x.reshape(*lead, f, z_block, gh, patch, gw, patch, c)
+    n = len(lead)
+    # (..., f, z, gh, ph, gw, pw, c) -> (..., f, gh, gw, z, ph, pw, c)
+    perm = tuple(range(n)) + tuple(i + n for i in (0, 2, 4, 1, 3, 5, 6))
+    x = x.transpose(perm)
+    return x.reshape(*lead, f, gh * gw, z_block * patch * patch * c)

@@ -50,3 +50,30 @@ def test_fallback_paths(monkeypatch, rng):
     out = avstage.gather_video_segments(video, starts, 8, (0, 0), (16, 16))
     idx = starts[:, None] + np.arange(8)[None]
     np.testing.assert_array_equal(out, video[idx])
+
+
+def test_patchify_u8_matches_reference(rng):
+    """Native host-side im2col == ops.video.patchify_frames, and the numpy
+    fallback path too (the dense patch embed depends on this byte order)."""
+    from synchformer_tpu.ops.video import patchify_frames
+
+    x = rng.integers(0, 256, (3, 2, 4, 32, 32, 3), dtype=np.uint8)
+    ref = patchify_frames(x, z_block=2, patch=16)
+    out = avstage.patchify_u8(x, z_block=2, patch=16)
+    np.testing.assert_array_equal(out, ref)
+    assert out.shape == (3, 2, 2, 4, 2 * 16 * 16 * 3)
+
+    # out= reuse (staging slots)
+    buf = np.empty_like(out)
+    out2 = avstage.patchify_u8(x, z_block=2, patch=16, out=buf)
+    assert out2 is buf
+    np.testing.assert_array_equal(buf, ref)
+
+
+def test_patchify_u8_fallback(monkeypatch, rng):
+    from synchformer_tpu.ops.video import patchify_frames
+
+    monkeypatch.setattr(avstage, "_load", lambda: None)
+    x = rng.integers(0, 256, (2, 4, 32, 32, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(avstage.patchify_u8(x, patch=16),
+                                  patchify_frames(x, patch=16))

@@ -286,3 +286,45 @@ def test_fold_video_normalize_matches_normalize_then_conv(rng):
     assert float(jnp.abs(
         variables["params"]["patch_embed_3d"]["kernel"]
         - folded["params"]["patch_embed_3d"]["kernel"]).max()) > 0
+
+
+def test_motionformer_prepatchified_matches_conv_path(rng):
+    """5D patch-major input (host-side patchify_frames) through the dense
+    patch embed must match the 6D strided-conv path: same param tree, same
+    features, for both the XLA and (CPU: interpret) paths' shared front-end."""
+    from synchformer_tpu.ops.video import patchify_frames
+
+    model = MotionFormerEncoder(**TINY_VIS["params"])
+    x = rng.standard_normal((2, 3, 4, 16, 16, 3)).astype(np.float32)
+    x6 = jnp.asarray(x)
+    x5 = jnp.asarray(patchify_frames(x, z_block=2, patch=8))
+    assert x5.shape == (2, 3, 2, 4, 2 * 8 * 8 * 3)
+
+    v6 = model.init(jax.random.PRNGKey(0), x6)
+    v5 = model.init(jax.random.PRNGKey(0), x5)
+    # identical param trees (paths AND shapes) regardless of input rank
+    flat6 = jax.tree_util.tree_flatten_with_path(v6)[0]
+    flat5 = jax.tree_util.tree_flatten_with_path(v5)[0]
+    assert [(p, l.shape) for p, l in flat6] == [(p, l.shape) for p, l in flat5]
+
+    # non-trivial params: random instead of the zero-init patch kernel
+    leaves, tree = jax.tree_util.tree_flatten(v6)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    v6 = jax.tree_util.tree_unflatten(
+        tree, [jax.random.normal(k, l.shape, l.dtype) * 0.02
+               for k, l in zip(keys, leaves)])
+
+    f6, _ = model.apply(v6, x6)
+    f5, _ = model.apply(v6, x5)
+    np.testing.assert_allclose(np.asarray(f6), np.asarray(f5),
+                               rtol=2e-4, atol=2e-5)
+
+    # uint8 input + folded normalization: the production eval path
+    from synchformer_tpu.ops.video import fold_video_normalize
+
+    u8 = rng.integers(0, 256, (2, 3, 4, 16, 16, 3)).astype(np.uint8)
+    vf = fold_video_normalize(v6, tower=None)
+    g6, _ = model.apply(vf, jnp.asarray(u8))
+    g5, _ = model.apply(vf, jnp.asarray(patchify_frames(u8, z_block=2, patch=8)))
+    np.testing.assert_allclose(np.asarray(g6), np.asarray(g5),
+                               rtol=2e-4, atol=2e-5)

@@ -168,3 +168,33 @@ def test_local_clips_cycles_paths():
 
     with pytest.raises(ValueError):
         LocalClips([], "test")
+
+
+def test_staged_loader_host_transform():
+    """host_transform (bench.py: avstage.patchify_u8 of the video key) runs
+    in the staging thread before device_put."""
+    import jax
+
+    from synchformer_tpu.data.pipeline import StagedLoader
+
+    batches = [{"video": np.full((4, 4), i, np.uint8)} for i in range(3)]
+
+    class StubLoader:
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return len(batches)
+
+        def __iter__(self):
+            return iter(batches)
+
+    def xf(b):
+        b["video"] = b["video"].reshape(2, 8) + 1
+        return b
+
+    got = list(StagedLoader(StubLoader(), depth=2, host_transform=xf))
+    assert [b["video"].shape for b in got] == [(2, 8)] * 3
+    assert all(isinstance(b["video"], jax.Array) for b in got)
+    np.testing.assert_array_equal(np.asarray(got[0]["video"]),
+                                  np.full((2, 8), 1, np.uint8))
