@@ -199,6 +199,12 @@ def get_video_and_audio(path: str, end_sec: Optional[float] = None,
                         backend: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """Decode an mp4 -> (video (Tv,H,W,C) u8, mono audio (Ta,) f32, meta)
     (capability of ref: dataset_utils.py:75-85)."""
+    if str(path).startswith("synthetic://"):
+        # synthetic URLs (SyntheticAV / tests / smoke configs) are not real
+        # files — never hand them to a media decoder, whatever backend won
+        # the capability probe (regression: the cv2 backend outranks
+        # 'synthetic' once OpenCV is present, and cv2 cannot open them)
+        return _synthetic_cached(str(path))
     path = maybe_cache_file(str(path))
     backends = available_backends()
     backend = backend or backends[0]

@@ -201,3 +201,25 @@ def test_get_video_and_audio_dispatches_to_backend():
                            return_value=sentinel) as df:
         media.get_video_and_audio("/x/c.mp4", backend="ffmpeg")
     df.assert_called_once()
+
+
+def test_synthetic_urls_never_hit_real_decoders(monkeypatch):
+    """synthetic:// paths must decode synthetically even when a real backend
+    (cv2 here, since OpenCV is installed) wins the default-backend probe —
+    regression: the smoke trainer's SyntheticAV dataset crashed with
+    'cv2 failed to open synthetic://valid/0.mp4'."""
+    from synchformer_tpu.data import media
+
+    def boom(*a, **k):
+        raise AssertionError("real decoder invoked for a synthetic URL")
+
+    monkeypatch.setattr(media, "_decode_cv2", boom)
+    monkeypatch.setattr(media, "_decode_pyav", boom)
+    monkeypatch.setattr(media, "_decode_ffmpeg", boom)
+    v, a, meta = media.get_video_and_audio("synthetic://valid/0.mp4")
+    assert v.dtype == np.uint8 and v.ndim == 4
+    assert a.dtype == np.float32 and a.ndim == 1
+    # explicit backend choice must not override the synthetic routing either
+    v2, _, _ = media.get_video_and_audio("synthetic://valid/0.mp4",
+                                         backend="cv2")
+    np.testing.assert_array_equal(v, v2)
