@@ -30,7 +30,7 @@ _PROBE = ("import jax, jax.numpy as jnp, numpy as np; "
           "print(float(np.asarray(jnp.sum(jnp.ones((8, 8))))))")
 
 
-def wait_for_tpu(attempts: int = 10, probe_timeout: int = 120,
+def wait_for_tpu(attempts: int = 30, probe_timeout: int = 120,
                  sleep_between: int = 60) -> None:
     """Block until the axon TPU tunnel answers a tiny computation.
 

@@ -225,6 +225,22 @@ class DropPath(nn.Module):
         return x * keep / (1.0 - self.rate)
 
 
+class _MHSAParams(nn.Module):
+    """MultiHeadSelfAttention's parameters without the computation — the
+    exact tree ({qkv, proj} Dense) under the same scope, for feeding the
+    fused CLS-pool kernel."""
+
+    features: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        qkv = DenseParams(self.features, 3 * self.features,
+                          use_bias=self.qkv_bias, name="qkv")()
+        proj = DenseParams(self.features, self.features, name="proj")()
+        return qkv, proj
+
+
 class PreLNBlock(nn.Module):
     """Pre-LayerNorm transformer block: x + attn(ln1(x)); x + mlp(ln2(x)).
 
@@ -253,6 +269,30 @@ class PreLNBlock(nn.Module):
         aggregator's (896, 197, 768) this removes ~99% of the block's MLP
         and 1/3 of its QKV matmul (~13 ms/iter e2e, measured round 4)."""
         d = x.shape[-1]
+        stochastic_any = not deterministic and (
+            self.attn_dropout > 0.0 or self.resid_dropout > 0.0
+            or self.drop_path > 0.0)
+        if (query_rows == 1 and self.impl == "pallas" and keep_mask is None
+                and x.ndim == 3 and self.qkv_bias and not stochastic_any):
+            # whole CLS-pool layer in one pallas program per segment chunk:
+            # LN1 -> QKV -> 1-row attention -> proj -> residual -> LN2 ->
+            # MLP -> residual, K/V never leave VMEM (kills the 1.62 ms KV
+            # relayout + the separate logits/PV/LN fusions at the spatial
+            # aggregator's shape — see ops/pallas/cls_pool.py). Identical
+            # param tree to the module branches below.
+            from synchformer_tpu.ops.pallas.cls_pool import fused_cls_pool
+
+            ln1_scale, ln1_bias = LNParams(d, name="ln1")()
+            (qkv_k, qkv_b), (proj_k, proj_b) = _MHSAParams(
+                d, self.qkv_bias, name="attn")()
+            ln2_scale, ln2_bias = LNParams(d, name="ln2")()
+            k1, b1, k2, b2 = MlpParams(d, int(d * self.mlp_ratio),
+                                       name="mlp")()
+            out = fused_cls_pool(
+                x.astype(self.dtype), ln1_scale, ln1_bias, qkv_k, qkv_b,
+                proj_k, proj_b, ln2_scale, ln2_bias, k1, b1, k2, b2,
+                num_heads=self.num_heads, eps=self.ln_eps)
+            return out[:, None, :]
         attn_out = MultiHeadSelfAttention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_dropout=self.attn_dropout, proj_dropout=self.resid_dropout,

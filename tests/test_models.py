@@ -250,14 +250,19 @@ def test_preln_block_query_rows_matches_full(rng):
                     jax.tree_util.tree_leaves(vs_q)):
         assert a.shape == b.shape
 
-    # the pallas impl flag routes query_rows through the same (XLA) math
+    # the pallas impl flag routes query_rows=1 through the fused CLS-pool
+    # kernel (ops/pallas/cls_pool.py; equality pinned in test_cls_pool.py) —
+    # same tree, same math up to the kernel's poly-GELU tolerance
+    from jax.experimental.pallas import tpu as pltpu
+
     blk_p = PreLNBlock(num_heads=HEADS, ln_eps=1e-6, impl="pallas")
-    vs_p = blk_p.init(jax.random.PRNGKey(0), x, query_rows=1)
+    with pltpu.force_tpu_interpret_mode():
+        vs_p = blk_p.init(jax.random.PRNGKey(0), x, query_rows=1)
+        cls_p = blk_p.apply(vs, x, query_rows=1)
     assert (jax.tree_util.tree_structure(vs)
             == jax.tree_util.tree_structure(vs_p))
-    cls_p = blk_p.apply(vs, x, query_rows=1)
     np.testing.assert_allclose(np.asarray(cls_p), np.asarray(cls),
-                               rtol=1e-6, atol=1e-7)
+                               rtol=2e-4, atol=3e-5)
 
 
 def test_fold_video_normalize_matches_normalize_then_conv(rng):
