@@ -82,8 +82,13 @@ def _cls_pool_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref,
         q = (q32 + bqkv_ref[0, :d].astype(jnp.float32)).astype(dtype)  # (1, D)
         k = kv[:, :d]
         v = kv[:, d:]
-        qm = q.reshape(d, 1) * E                         # (D, H) masked q^T
-        logits = jnp.dot(k, qm,
+        # logits[n, h] = sum_d k[n,d]*q[d]*E[d,h]: a lane-broadcast multiply
+        # + one (N, D) x (D, H) reduction — no (1, D) -> (D, 1) transpose,
+        # which Mosaic cannot lower (tpu.reshape 1x768 -> 768x1). Products
+        # in f32 of the bf16 operands = exactly the MXU semantics of the
+        # reference einsum; the masked reduction is tiny (N x D x H).
+        kq = k.astype(jnp.float32) * q.astype(jnp.float32)
+        logits = jnp.dot(kq, E.astype(jnp.float32),
                          preferred_element_type=jnp.float32) * scale  # (N, H)
         p = jax.nn.softmax(logits, axis=0).astype(dtype)
         pm = jnp.dot(p, ET, preferred_element_type=jnp.float32)  # (N, D)
