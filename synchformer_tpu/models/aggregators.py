@@ -50,15 +50,31 @@ class CLSPoolEncoderLayer(nn.Module):
         """x: (B, N, D); keep_mask: (B, N) with 1 = keep. Returns (B, D)."""
         b, n, d = x.shape
         cls = self.param("cls_token", trunc02, (1, 1, d))
-        x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (b, 1, d)), x], axis=1)
-        if keep_mask is not None:
-            keep_mask = jnp.concatenate(
-                [jnp.ones((b, 1), dtype=bool), keep_mask.astype(bool)], axis=1)
+        # The CLS token is the same row for every batch element, so it is
+        # passed as PreLNBlock's cls_row instead of materializing the
+        # (B, 1+N, D) concat (the fused pallas kernel prepends its K/V in
+        # VMEM; non-fused branches concat inside the block — same math).
+        # Masked or dropout-active-pos-emb inputs keep the explicit concat.
+        cls_vec = cls[0]  # (1, D)
+        split_cls = keep_mask is None and (deterministic
+                                           or self.pos_emb_drop == 0.0)
         if self.add_pos_emb:
             assert self.pos_max_len is not None
             pos = self.param("pos_emb", trunc02, (1, 1 + self.pos_max_len, d))
-            x = x + pos[:, : 1 + n].astype(x.dtype)
-            x = nn.Dropout(self.pos_emb_drop)(x, deterministic=deterministic)
+            if split_cls:
+                cls_vec = cls_vec + pos[0, :1]
+                x = x + pos[:, 1: 1 + n].astype(x.dtype)
+        if not split_cls:
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, d)), x], axis=1)
+            if keep_mask is not None:
+                keep_mask = jnp.concatenate(
+                    [jnp.ones((b, 1), dtype=bool), keep_mask.astype(bool)],
+                    axis=1)
+            if self.add_pos_emb:
+                x = x + pos[:, : 1 + n].astype(x.dtype)
+                x = nn.Dropout(self.pos_emb_drop)(
+                    x, deterministic=deterministic)
         # Only the CLS row is returned, so the block computes just that row:
         # Q/attention/MLP/residual restricted to row 0, K/V over all tokens —
         # exact (row-wise ops), ~6x cheaper at the spatial aggregator's shape.
@@ -66,7 +82,8 @@ class CLSPoolEncoderLayer(nn.Module):
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
             ln_eps=self.ln_eps, attn_dropout=self.dropout, resid_dropout=self.dropout,
             dtype=self.dtype, impl=self.impl, name="block",
-        )(x, keep_mask=keep_mask, deterministic=deterministic, query_rows=1)
+        )(x, keep_mask=keep_mask, deterministic=deterministic, query_rows=1,
+          cls_row=cls_vec if split_cls else None)
         return x[:, 0, :]
 
 

@@ -261,13 +261,19 @@ class PreLNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, keep_mask=None, deterministic: bool = True,
-                 query_rows: Optional[int] = None):
+                 query_rows: Optional[int] = None, cls_row=None):
         """With ``query_rows=r`` only the first r rows of the output are
         computed and returned, (..., r, D) — exact for CLS-pooling consumers
         (attention still keys/values over ALL tokens; LN/MLP/residual are
         row-wise, so dropping the dead rows changes nothing). At the spatial
         aggregator's (896, 197, 768) this removes ~99% of the block's MLP
-        and 1/3 of its QKV matmul (~13 ms/iter e2e, measured round 4)."""
+        and 1/3 of its QKV matmul (~13 ms/iter e2e, measured round 4).
+
+        ``cls_row``: optional (1, 1, D)/(1, D) row to treat as a shared
+        token 0 WITHOUT the caller materializing the (B, 1+N, D) concat
+        (0.84 ms of HBM write at the spatial aggregator): the fused kernel
+        prepends its K/V in VMEM; non-fused branches concat here instead —
+        identical math either way."""
         d = x.shape[-1]
         stochastic_any = not deterministic and (
             self.attn_dropout > 0.0 or self.resid_dropout > 0.0
@@ -280,7 +286,10 @@ class PreLNBlock(nn.Module):
             # relayout + the separate logits/PV/LN fusions at the spatial
             # aggregator's shape — see ops/pallas/cls_pool.py). Identical
             # param tree to the module branches below.
-            from synchformer_tpu.ops.pallas.cls_pool import fused_cls_pool
+            from synchformer_tpu.ops.pallas.cls_pool import (
+                fused_cls_pool,
+                fused_cls_pool_tokens,
+            )
 
             ln1_scale, ln1_bias = LNParams(d, name="ln1")()
             (qkv_k, qkv_b), (proj_k, proj_b) = _MHSAParams(
@@ -288,11 +297,22 @@ class PreLNBlock(nn.Module):
             ln2_scale, ln2_bias = LNParams(d, name="ln2")()
             k1, b1, k2, b2 = MlpParams(d, int(d * self.mlp_ratio),
                                        name="mlp")()
-            out = fused_cls_pool(
-                x.astype(self.dtype), ln1_scale, ln1_bias, qkv_k, qkv_b,
-                proj_k, proj_b, ln2_scale, ln2_bias, k1, b1, k2, b2,
-                num_heads=self.num_heads, eps=self.ln_eps)
+            if cls_row is not None:
+                out = fused_cls_pool_tokens(
+                    x.astype(self.dtype), cls_row.astype(self.dtype),
+                    ln1_scale, ln1_bias, qkv_k, qkv_b, proj_k, proj_b,
+                    ln2_scale, ln2_bias, k1, b1, k2, b2,
+                    num_heads=self.num_heads, eps=self.ln_eps)
+            else:
+                out = fused_cls_pool(
+                    x.astype(self.dtype), ln1_scale, ln1_bias, qkv_k, qkv_b,
+                    proj_k, proj_b, ln2_scale, ln2_bias, k1, b1, k2, b2,
+                    num_heads=self.num_heads, eps=self.ln_eps)
             return out[:, None, :]
+        if cls_row is not None:
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_row.reshape(1, 1, d).astype(x.dtype),
+                                  (x.shape[0], 1, d)), x], axis=1)
         attn_out = MultiHeadSelfAttention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_dropout=self.attn_dropout, proj_dropout=self.resid_dropout,

@@ -45,10 +45,19 @@ from synchformer_tpu.ops.pallas.fused_block import (
 )
 
 
-def _seg_chunk(n_rows: int, target: int = 8) -> int:
+def _seg_chunk(bsz: int, n: int, target_rows: int = 2048) -> int:
+    """Segments per program: batch enough (N, D) slabs to amortize the
+    per-program overhead (~target_rows rows of work), bounded by what
+    divides the batch. At the spatial aggregator (N=197) this is 8; at the
+    AST frequency aggregator (N=13, B=672) it is 16 — the N=13 slabs are
+    tiny and 84 single-digit-row programs were pure dispatch overhead
+    (0.76 ms for ~0.1 ms of matmul, measured). Capped at 16: the segment
+    loop unrolls in the kernel body and Mosaic compile time blows up on
+    very long unrolls (round-2 finding on the per-head unroll)."""
+    cap = max(1, min(bsz, 16, target_rows // max(n, 1)))
     best = 1
-    for r in range(1, min(target, n_rows) + 1):
-        if n_rows % r == 0:
+    for r in range(1, cap + 1):
+        if bsz % r == 0:
             best = r
     return best
 
@@ -107,11 +116,150 @@ def _cls_pool_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref,
     o_ref[...] = y + (m32 + fb2_ref[0].astype(jnp.float32)).astype(dtype)
 
 
+def _cls_pool_tokens_kernel(x_ref, cls_ref, g1_ref, b1_ref, wqkv_ref,
+                            bqkv_ref, wp_ref, bp_ref, g2_ref, b2_ref, w1_ref,
+                            fb1_ref, w2_ref, fb2_ref, o_ref, *, eps: float,
+                            num_heads: int, segs: int):
+    """Tokens + shared CLS-vector variant: the (B, 1+M, D) concat of
+    CLSPoolEncoderLayer never materializes in HBM (0.84 ms of pure write at
+    the spatial aggregator's shape). The CLS row's LN/Q/K/V are computed
+    once per program and its key/value prepended to every segment's K/V in
+    VMEM — same math as concat-then-pool, row-independent ops."""
+    segs_, m, d = x_ref.shape
+    dh = d // num_heads
+    dtype = x_ref.dtype
+    scale = dh ** -0.5
+    e_dh = (jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 0) // dh
+            == jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 1))
+    e_hd = (jax.lax.broadcasted_iota(jnp.int32, (num_heads, d), 1) // dh
+            == jax.lax.broadcasted_iota(jnp.int32, (num_heads, d), 0))
+    Ef = e_dh.astype(jnp.float32)
+    ET = e_hd.astype(dtype)
+
+    cls = cls_ref[...]                                   # (1, D)
+    ln_c = layer_norm(cls, g1_ref[0], b1_ref[0], eps, dtype)
+    q32 = jnp.dot(ln_c, wqkv_ref[:, :d], preferred_element_type=jnp.float32)
+    q = (q32 + bqkv_ref[0, :d].astype(jnp.float32)).astype(dtype)
+    kvc32 = jnp.dot(ln_c, wqkv_ref[:, d:], preferred_element_type=jnp.float32)
+    kv_c = (kvc32 + bqkv_ref[0, d:].astype(jnp.float32)).astype(dtype)
+    qf = q.astype(jnp.float32)
+
+    cls_rows = []
+    for s in range(segs):
+        x = x_ref[s]                                     # (M, D)
+        ln = layer_norm(x, g1_ref[0], b1_ref[0], eps, dtype)
+        kv32 = jnp.dot(ln, wqkv_ref[:, d:],
+                       preferred_element_type=jnp.float32)
+        kv = (kv32 + bqkv_ref[0, d:].astype(jnp.float32)).astype(dtype)
+        kv_full = jnp.concatenate([kv_c, kv], axis=0)    # (1+M, 2D) in VMEM
+        k = kv_full[:, :d]
+        v = kv_full[:, d:]
+        kq = k.astype(jnp.float32) * qf
+        logits = jnp.dot(kq, Ef,
+                         preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(logits, axis=0).astype(dtype)
+        pm = jnp.dot(p, ET, preferred_element_type=jnp.float32)
+        pv = pm * v.astype(jnp.float32)
+        cls_rows.append(jnp.sum(pv, axis=0, keepdims=True).astype(dtype))
+
+    att = jnp.concatenate(cls_rows, axis=0)              # (segs, D)
+    att32 = jnp.dot(att, wp_ref[...], preferred_element_type=jnp.float32)
+    att = (att32 + bp_ref[0].astype(jnp.float32)).astype(dtype)
+    y = jnp.broadcast_to(cls.astype(dtype), (segs_, d)) + att
+
+    ln2 = layer_norm(y, g2_ref[0], b2_ref[0], eps, dtype)
+    h32 = jnp.dot(ln2, w1_ref[...], preferred_element_type=jnp.float32)
+    h = _gelu_kernel_f32(h32 + fb1_ref[0].astype(jnp.float32)).astype(dtype)
+    m32 = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = y + (m32 + fb2_ref[0].astype(jnp.float32)).astype(dtype)
+
+
+def _cls_pool_tokens_pallas(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1,
+                            fb1, w2, fb2, num_heads: int, eps: float):
+    bsz, m, d = x.shape
+    hdim = w1.shape[1]
+    segs = _seg_chunk(bsz, m + 1)
+    vec = lambda mm: pl.BlockSpec((1, mm), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    kernel = functools.partial(_cls_pool_tokens_kernel, eps=eps,
+                               num_heads=num_heads, segs=segs)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz // segs,),
+        in_specs=[pl.BlockSpec((segs, m, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d),
+                  vec(d), vec(d), mat(d, 3 * d), vec(3 * d),
+                  mat(d, d), vec(d), vec(d), vec(d),
+                  mat(d, hdim), vec(hdim), mat(hdim, d), vec(d)],
+        out_specs=pl.BlockSpec((segs, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, cls.reshape(1, d).astype(x.dtype), g1.reshape(1, d),
+      b1.reshape(1, d), wqkv.astype(x.dtype), bqkv.reshape(1, 3 * d),
+      wp.astype(x.dtype), bp.reshape(1, d), g2.reshape(1, d),
+      b2.reshape(1, d), w1.astype(x.dtype), fb1.reshape(1, hdim),
+      w2.astype(x.dtype), fb2.reshape(1, d))
+
+
+def _cls_pool_tokens_ref(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1,
+                         w2, fb2, num_heads: int, eps: float):
+    bsz, m, d = x.shape
+    full = jnp.concatenate(
+        [jnp.broadcast_to(cls.reshape(1, 1, d).astype(x.dtype),
+                          (bsz, 1, d)), x], axis=1)
+    return _cls_pool_ref(full, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1,
+                         w2, fb2, num_heads, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
+def _cls_pool_tokens_vjp(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1,
+                         w2, fb2, num_heads: int, eps: float):
+    return _cls_pool_tokens_pallas(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2,
+                                   b2, w1, fb1, w2, fb2, num_heads, eps)
+
+
+def fused_cls_pool_tokens(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1,
+                          fb1, w2, fb2, num_heads: int, eps: float = 1e-6):
+    """CLS pooling over (B, M, D) tokens with the learnable CLS vector fed
+    separately — equivalent to prepending it and calling fused_cls_pool,
+    without ever materializing the (B, 1+M, D) concat. Deterministic path
+    only. Runs per data shard under an active data mesh."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    return data_sharded_kernel(
+        lambda *a: _cls_pool_tokens_vjp(*a, num_heads=num_heads, eps=eps),
+        batched=(0,), replicated=tuple(range(1, 14)))(
+            x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1, w2, fb2)
+
+
+def _cls_pool_tokens_fwd(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1,
+                         w2, fb2, num_heads, eps):
+    out = _cls_pool_tokens_pallas(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2,
+                                  w1, fb1, w2, fb2, num_heads, eps)
+    return out, (x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1, w2, fb2)
+
+
+def _cls_pool_tokens_bwd(num_heads, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _cls_pool_tokens_ref(*a, num_heads=num_heads, eps=eps),
+        *res)
+    return vjp(g)
+
+
+_cls_pool_tokens_vjp.defvjp(_cls_pool_tokens_fwd, _cls_pool_tokens_bwd)
+
+
 def _cls_pool_pallas(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1, w2, fb2,
                      num_heads: int, eps: float):
     bsz, n, d = x.shape
     hdim = w1.shape[1]
-    segs = _seg_chunk(bsz)
+    segs = _seg_chunk(bsz, n)
     vec = lambda m: pl.BlockSpec((1, m), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),

@@ -109,3 +109,71 @@ def test_cls_pool_encoder_layer_pallas(rng):
     assert got.shape == (4, D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("bsz,m", [(6, 12), (4, 20)])
+def test_cls_pool_tokens_matches_concat(rng, bsz, m):
+    """fused_cls_pool_tokens(tokens, cls) == fused_cls_pool(concat) — the
+    no-materialized-concat contract, values and gradients."""
+    from synchformer_tpu.ops.pallas.cls_pool import (
+        _cls_pool_tokens_ref,
+        fused_cls_pool_tokens,
+    )
+
+    a = _inputs(rng, bsz=bsz, n=m)  # reuse builder; x is the TOKEN tensor
+    cls = jnp.asarray(0.05 * rng.standard_normal((1, D)).astype(np.float32))
+    args = [a["x"], cls] + [v for k, v in a.items() if k != "x"]
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_cls_pool_tokens(*args, num_heads=HEADS, eps=1e-6)
+    golden = _cls_pool_tokens_ref(*args, num_heads=HEADS, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               rtol=2e-4, atol=3e-5)
+
+    def loss_fused(*args):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_cls_pool_tokens(*args, num_heads=HEADS,
+                                                 eps=1e-6) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(_cls_pool_tokens_ref(*args, num_heads=HEADS,
+                                            eps=1e-6) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 4))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 4))(*args)
+    for got_g, golden_g in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(golden_g),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_cls_pool_encoder_layer_pos_emb_pallas(rng):
+    """The global/temporal aggregator flavor (learned pos-emb) through the
+    split-CLS fused path == the XLA concat path."""
+    from synchformer_tpu.models.aggregators import CLSPoolEncoderLayer
+
+    x = jnp.asarray(rng.standard_normal((4, 9, D)).astype(np.float32))
+    kw = dict(num_heads=HEADS, add_pos_emb=True, pos_max_len=14)
+    lx = CLSPoolEncoderLayer(impl="xla", **kw)
+    lp = CLSPoolEncoderLayer(impl="pallas", **kw)
+    vs = lx.init(jax.random.PRNGKey(0), x)
+    ref = lx.apply(vs, x)
+    with pltpu.force_tpu_interpret_mode():
+        got = lp.apply(vs, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=3e-5)
+
+
+def test_cls_pool_encoder_layer_masked_falls_back(rng):
+    """keep_mask forces the explicit-concat XLA path (the fused kernel is
+    unmasked-only) — and the mask semantics survive."""
+    from synchformer_tpu.models.aggregators import CLSPoolEncoderLayer
+
+    x = jnp.asarray(rng.standard_normal((3, 8, D)).astype(np.float32))
+    keep = jnp.asarray(rng.integers(0, 2, (3, 8)).astype(bool))
+    keep = keep.at[:, 0].set(True)  # at least one kept token
+    lp = CLSPoolEncoderLayer(num_heads=HEADS, impl="pallas")
+    lx = CLSPoolEncoderLayer(num_heads=HEADS, impl="xla")
+    vs = lx.init(jax.random.PRNGKey(0), x, keep_mask=keep)
+    ref = lx.apply(vs, x, keep_mask=keep)
+    got = lp.apply(vs, x, keep_mask=keep)  # no interpret ctx needed: XLA path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
