@@ -275,6 +275,14 @@ def main():
         record["pipeline_host_wait_frac"] = round(stats["host_wait_frac"], 3)
         record["pipeline_h2d_frac"] = round(stats["h2d_frac"], 3)
         record["pipeline_h2d_mb_per_s"] = round(stats["h2d_mb_per_s"], 1)
+        if pipe_decode == "cv2":
+            # decode-cache-steady synthetic variant for round-over-round
+            # continuity (BENCH_r01..r04 measured this; the cv2 number above
+            # includes real single-core decode, a different quantity)
+            s2 = measure_pipeline(params, infer_raw, batch, n_seg,
+                                  decode="synthetic")
+            record["pipeline_synthetic_clips_per_sec"] = round(
+                s2["clips_per_sec"], 3)
     except Exception as e:  # the headline metric must still print
         record["pipeline_error"] = str(e)[:200]
     # Stage-I/II train-step perf rides the same record (VERDICT r4 task #4)

@@ -55,9 +55,13 @@ def _seg_chunk(bsz: int, n: int, target_rows: int = 2048) -> int:
     loop unrolls in the kernel body and Mosaic compile time blows up on
     very long unrolls (round-2 finding on the per-head unroll)."""
     cap = max(1, min(bsz, 16, target_rows // max(n, 1)))
-    best = 1
+    best = 0
     for r in range(1, cap + 1):
-        if bsz % r == 0:
+        # the (segs, D) output block is only a legal Mosaic block shape if
+        # segs is a sublane multiple or covers the whole array (regression:
+        # Stage-I's (28, 9, 768) temporal agg picked segs=14 and failed to
+        # lower); callers fall back to the XLA composition on 0
+        if bsz % r == 0 and (r % 8 == 0 or r == bsz):
             best = r
     return best
 
@@ -179,6 +183,9 @@ def _cls_pool_tokens_pallas(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1,
     bsz, m, d = x.shape
     hdim = w1.shape[1]
     segs = _seg_chunk(bsz, m + 1)
+    if segs == 0:
+        return _cls_pool_tokens_ref(x, cls, g1, b1, wqkv, bqkv, wp, bp, g2,
+                                    b2, w1, fb1, w2, fb2, num_heads, eps)
     vec = lambda mm: pl.BlockSpec((1, mm), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -260,6 +267,9 @@ def _cls_pool_pallas(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1, w2, fb2,
     bsz, n, d = x.shape
     hdim = w1.shape[1]
     segs = _seg_chunk(bsz, n)
+    if segs == 0:
+        return _cls_pool_ref(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, fb1,
+                             w2, fb2, num_heads, eps)
     vec = lambda m: pl.BlockSpec((1, m), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),

@@ -177,3 +177,25 @@ def test_cls_pool_encoder_layer_masked_falls_back(rng):
     got = lp.apply(vs, x, keep_mask=keep)  # no interpret ctx needed: XLA path
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_cls_pool_illegal_chunk_falls_back(rng):
+    """bsz with no sublane-multiple divisor <= the unroll cap (e.g. 28, the
+    Stage-I temporal-agg batch) must take the XLA fallback instead of an
+    illegal (segs, D) Mosaic output block — regression: bench train_error."""
+    from synchformer_tpu.ops.pallas.cls_pool import (
+        _cls_pool_ref,
+        _seg_chunk,
+        fused_cls_pool,
+    )
+
+    assert _seg_chunk(28, 9) == 0
+    assert _seg_chunk(896, 197) == 8
+    assert _seg_chunk(672, 14) == 16
+    assert _seg_chunk(6, 13) == 6  # covers-whole-array case
+
+    a = _inputs(rng, bsz=28, n=9)
+    got = fused_cls_pool(*a.values(), num_heads=HEADS, eps=1e-6)  # no interpret ctx: pure-XLA fallback
+    golden = _cls_pool_ref(*a.values(), num_heads=HEADS, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               rtol=1e-6, atol=1e-6)
