@@ -102,9 +102,12 @@ def measure_device_only(params, infer, batch: int, n_seg: int) -> float:
     print(f"[bench] device-only compile+warmup {time.perf_counter() - t0:.0f}s",
           file=sys.stderr, flush=True)
 
+    # best sustained window (same methodology as all rounds); 5 windows
+    # because the axon tunnel's minute-scale state adds ~1.5% run-to-run
+    # spread on top of the device time
     n_iter = 10
     best = float("inf")
-    for r in range(3):
+    for r in range(5):
         t0 = time.perf_counter()
         for _ in range(n_iter):
             out = infer(params, vis, pcm)

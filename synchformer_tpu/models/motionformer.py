@@ -80,7 +80,8 @@ class DividedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, num_frames: int, mode: str, keep_mask=None,
-                 deterministic: bool = True, ln=None, residual=None):
+                 deterministic: bool = True, ln=None, residual=None,
+                 patch_ln_stats=None):
         """ln: optional (scale, bias) of the block's pre-attention LayerNorm.
         When given, x is the RAW block input and the normalization happens
         here — fused into the pallas megakernel on the pallas path, manual
@@ -111,7 +112,22 @@ class DividedAttention(nn.Module):
             qkv_kernel, qkv_bias = DenseParams(d, 3 * d, name="qkv")()
             if ln is not None:
                 x_cls = layer_norm(x_cls, ln[0], ln[1], self.ln_eps, self.dtype)
-                x_patch = layer_norm(x_patch, ln[0], ln[1], self.ln_eps, self.dtype)
+                if patch_ln_stats is not None:
+                    # row statistics emitted by the producing slab kernel
+                    # (fused_rows stats variant): the LN apply fuses into
+                    # the QKV projection without a full re-read for the
+                    # reduce (0.37 ms/layer at the tower's shape)
+                    from synchformer_tpu.ops.pallas.fused_rows import (
+                        layer_norm_from_stats,
+                    )
+
+                    x_patch = layer_norm_from_stats(
+                        x_patch, patch_ln_stats[..., 0:1],
+                        patch_ln_stats[..., 1:2], ln[0], ln[1],
+                        self.ln_eps, self.dtype)
+                else:
+                    x_patch = layer_norm(x_patch, ln[0], ln[1], self.ln_eps,
+                                         self.dtype)
             qkv_c = dense(x_cls, qkv_kernel, qkv_bias, self.dtype)
             qkv_p = dense(x_patch, qkv_kernel, qkv_bias, self.dtype)
             if residual is not None:
@@ -266,7 +282,13 @@ class DividedSpaceTimeBlock(nn.Module):
                 pair[1] * scale[:, None, None, None])
 
     @nn.compact
-    def __call__(self, x, keep_mask=None, deterministic: bool = True):
+    def __call__(self, x, keep_mask=None, deterministic: bool = True,
+                 patch_ln_stats=None, emit_patch_stats: bool = False):
+        """``patch_ln_stats``: (B, f, n, 8) stats of x's patch half from the
+        previous block's slab kernel (lanes [mean, meansq, ...]) — consumed
+        by this block's pre-time-attention LN. ``emit_patch_stats``: return
+        ((cls, patch), stats-of-output) for the next block. Both are
+        deterministic-split-pallas-path options; other paths ignore them."""
         split = isinstance(x, tuple)
         d = (x[1] if split else x).shape[-1]
         # fused proj+residual epilogue on the deterministic inference /
@@ -286,7 +308,8 @@ class DividedSpaceTimeBlock(nn.Module):
             attn_impl=self.attn_impl, ln_eps=self.ln_eps, name="timeattn",
         )(x, num_frames=self.num_frames, mode="time", keep_mask=keep_mask,
           deterministic=deterministic, ln=ln3,
-          residual=(x if fuse_proj else None))
+          residual=(x if fuse_proj else None),
+          patch_ln_stats=(patch_ln_stats if fuse_proj else None))
         # reference adds the time output without drop-path
         if fuse_proj:
             x = t_out  # residual already added in the kernel epilogue
@@ -319,18 +342,30 @@ class DividedSpaceTimeBlock(nn.Module):
                 from synchformer_tpu.ops.pallas.fused_rows import (
                     _ln_mlp_ref,
                     fused_ln_mlp_residual,
+                    fused_ln_mlp_residual_stats,
                 )
 
-                patch = fused_ln_mlp_residual(
-                    patch, ln2_scale, ln2_bias,
-                    k1.astype(self.dtype), b1.astype(self.dtype),
-                    k2.astype(self.dtype), b2.astype(self.dtype), self.ln_eps)
+                out_stats = None
+                if emit_patch_stats and deterministic:
+                    patch, out_stats = fused_ln_mlp_residual_stats(
+                        patch, ln2_scale, ln2_bias,
+                        k1.astype(self.dtype), b1.astype(self.dtype),
+                        k2.astype(self.dtype), b2.astype(self.dtype),
+                        self.ln_eps)
+                else:
+                    patch = fused_ln_mlp_residual(
+                        patch, ln2_scale, ln2_bias,
+                        k1.astype(self.dtype), b1.astype(self.dtype),
+                        k2.astype(self.dtype), b2.astype(self.dtype),
+                        self.ln_eps)
                 # the CLS row is (B, 1, D) — the XLA composition is cheaper
                 # than spinning up a kernel for it
                 cls = _ln_mlp_ref(cls, ln2_scale, ln2_bias,
                                   k1.astype(self.dtype), b1.astype(self.dtype),
                                   k2.astype(self.dtype), b2.astype(self.dtype),
                                   self.ln_eps)
+                if emit_patch_stats:
+                    return (cls, patch), out_stats
                 return (cls, patch)
 
             def mlp_part(t):
@@ -539,15 +574,38 @@ class MotionFormerEncoder(nn.Module):
             block_cls = DividedSpaceTimeBlock
             if self.remat:
                 block_cls = nn.remat(DividedSpaceTimeBlock, static_argnums=(3,))
+            # deterministic pallas path: each block's slab kernel emits the
+            # LN stats of its patch output; the next block's norm3 (and the
+            # final tower norm) apply them without re-reading the tensor
+            # for the reduce (12 x 0.37 ms/iter at B=8,S=14)
+            chain_stats = (self.attn_impl == "pallas" and deterministic
+                           and not self.remat)
+            stats = None
             for i in range(self.depth):
-                xsplit = block_cls(
+                blk = block_cls(
                     num_heads=self.num_heads, num_frames=f, mlp_ratio=self.mlp_ratio,
                     dropout=self.drop_rate, drop_path=float(dpr[i]), ln_eps=self.ln_eps,
                     dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
-                )(xsplit, None, deterministic)
+                )
+                if chain_stats:
+                    xsplit, stats = blk(xsplit, None, deterministic,
+                                        patch_ln_stats=stats,
+                                        emit_patch_stats=True)
+                else:
+                    xsplit = blk(xsplit, None, deterministic)
 
-            feats = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
-                                 name="norm")(xsplit[1])
+            if chain_stats:
+                from synchformer_tpu.ops.pallas.fused_rows import (
+                    layer_norm_from_stats,
+                )
+
+                n_scale, n_bias = LNParams(d, name="norm")()
+                feats = layer_norm_from_stats(
+                    xsplit[1], stats[..., 0:1], stats[..., 1:2],
+                    n_scale, n_bias, self.ln_eps, self.dtype)
+            else:
+                feats = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                                     name="norm")(xsplit[1])
             feats = feats.reshape(b * s, f, gh, gw, d)
             return self._aggregate(feats, None, b, s, deterministic)
 

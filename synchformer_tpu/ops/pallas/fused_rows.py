@@ -129,7 +129,7 @@ _fused_ln_matmul_vjp.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
 # ---------------------------------------------------------------------------
 
 def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                   o_ref, *, eps):
+                   o_ref, *stats_ref, eps):
     dtype = x_ref.dtype
     x = x_ref[...]
     ln = layer_norm(x, g_ref[0], b_ref[0], eps, dtype)
@@ -138,11 +138,18 @@ def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = _gelu_kernel_f32(h32).astype(dtype)
     y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
-    o_ref[...] = x + y.astype(dtype)
+    out = x + y.astype(dtype)
+    o_ref[...] = out
+    if stats_ref:
+        o32 = out.astype(jnp.float32)
+        mean = jnp.mean(o32, axis=-1, keepdims=True)
+        msq = jnp.mean(o32 * o32, axis=-1, keepdims=True)
+        pad = jnp.zeros((o32.shape[0], 6), jnp.float32)
+        stats_ref[0][...] = jnp.concatenate([mean, msq, pad], axis=1)
 
 
 def _ln_mlp_slab_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                        o_ref, *, eps, slabs):
+                        o_ref, *stats_ref, eps, slabs):
     dtype = x_ref.dtype
     for s in range(slabs):
         x = x_ref[s]
@@ -150,10 +157,36 @@ def _ln_mlp_slab_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         h32 = jnp.dot(ln, w1_ref[...], preferred_element_type=jnp.float32)
         h = _gelu_kernel_f32(h32 + b1_ref[0].astype(jnp.float32)).astype(dtype)
         y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
-        o_ref[s] = x + (y + b2_ref[0].astype(jnp.float32)).astype(dtype)
+        out = x + (y + b2_ref[0].astype(jnp.float32)).astype(dtype)
+        o_ref[s] = out
+        if stats_ref:
+            # LayerNorm statistics of the WRITTEN (dtype-cast) output, for
+            # the next block's pre-attention LN: one HBM re-read of the
+            # (n, D) slab saved per consumer. Same numerics as the XLA
+            # stats fusion (f32 reduce of the cast values). Stored as
+            # (n, 8) lanes [mean, meansq, 0...] — lane-reduces produce
+            # (n, 1) and an 8-lane block keeps the output legal/cheap.
+            o32 = out.astype(jnp.float32)
+            mean = jnp.mean(o32, axis=-1, keepdims=True)      # (n, 1)
+            msq = jnp.mean(o32 * o32, axis=-1, keepdims=True)
+            pad = jnp.zeros((o32.shape[0], 6), jnp.float32)
+            stats_ref[0][s] = jnp.concatenate([mean, msq, pad], axis=1)
 
 
-def _ln_mlp_pallas_slab(x, g, b, w1, b1, w2, b2, eps: float):
+def layer_norm_from_stats(x, mean, msq, scale, bias, eps: float, dtype):
+    """flax LayerNorm numerics applied with PRE-COMPUTED row statistics
+    (mean and mean-of-squares over the feature axis, f32, shapes
+    broadcastable to x[..., :1]) — the stats the slab kernel emits for its
+    own output, saving the consumer's full re-read of x for the reduce."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.maximum(msq - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def _ln_mlp_pallas_slab(x, g, b, w1, b1, w2, b2, eps: float,
+                        emit_stats: bool = False):
     """Slab-chunked variant for >=3D inputs whose token axis is NOT a
     sublane multiple (e.g. the tower's (B, f, 196, D) split-patches layout):
     flattening such an array to (rows, D) is a PAID relayout (the 4D tiling
@@ -174,6 +207,15 @@ def _ln_mlp_pallas_slab(x, g, b, w1, b1, w2, b2, eps: float):
             break
     vec = lambda m: pl.BlockSpec((1, m), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
+    out_specs = pl.BlockSpec((slabs, n, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(x3.shape, x.dtype)
+    if emit_stats:
+        out_specs = [out_specs,
+                     pl.BlockSpec((slabs, n, 8), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_slabs, n, 8), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_ln_mlp_slab_kernel, eps=eps, slabs=slabs),
         grid=(n_slabs // slabs,),
@@ -186,28 +228,43 @@ def _ln_mlp_pallas_slab(x, g, b, w1, b1, w2, b2, eps: float):
                   pl.BlockSpec((hdim, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   vec(d)],
-        out_specs=pl.BlockSpec((slabs, n, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(x3, g.reshape(1, d), b.reshape(1, d), w1.astype(x.dtype),
       b1.reshape(1, hdim), w2.astype(x.dtype), b2.reshape(1, d))
+    if emit_stats:
+        y, stats = out
+        return y.reshape(x.shape), stats.reshape(*x.shape[:-1], 8)
     return out.reshape(x.shape)
 
 
-def _ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps: float):
+def _ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps: float,
+                   emit_stats: bool = False):
     *lead, d = x.shape
     hdim = w1.shape[1]
     if x.ndim >= 3 and x.shape[-2] % 8 != 0 and x.shape[-2] >= 64:
-        return _ln_mlp_pallas_slab(x, g, b, w1, b1, w2, b2, eps)
+        return _ln_mlp_pallas_slab(x, g, b, w1, b1, w2, b2, eps,
+                                   emit_stats=emit_stats)
     x2 = x.reshape(-1, d)
     rows = _row_chunk(x2.shape[0])
     if rows == 0:
-        return _ln_mlp_ref(x, g, b, w1, b1, w2, b2, eps)
+        return (_ln_mlp_stats_ref(x, g, b, w1, b1, w2, b2, eps)
+                if emit_stats else
+                _ln_mlp_ref(x, g, b, w1, b1, w2, b2, eps))
     vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
+    out_specs = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(x2.shape, x.dtype)
+    if emit_stats:
+        out_specs = [out_specs,
+                     pl.BlockSpec((rows, 8), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((x2.shape[0], 8), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_ln_mlp_kernel, eps=eps),
         grid=(x2.shape[0] // rows,),
@@ -220,14 +277,16 @@ def _ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps: float):
                   pl.BlockSpec((hdim, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   vec(d)],
-        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(x2, g.reshape(1, d), b.reshape(1, d), w1.astype(x.dtype),
       b1.reshape(1, hdim), w2.astype(x.dtype), b2.reshape(1, d))
+    if emit_stats:
+        y, stats = out
+        return y.reshape(x.shape), stats.reshape(*x.shape[:-1], 8)
     return out.reshape(x.shape)
 
 
@@ -252,6 +311,52 @@ def fused_ln_mlp_residual(x, g, b, w1, b1, w2, b2, eps: float = 1e-6):
     return data_sharded_kernel(
         lambda *a: _fused_ln_mlp_vjp(*a, eps=eps),
         batched=(0,), replicated=(1, 2, 3, 4, 5, 6))(x, g, b, w1, b1, w2, b2)
+
+
+def _ln_mlp_stats_ref(x, g, b, w1, b1, w2, b2, eps: float):
+    """XLA-composed (out, stats) reference mirroring the kernel numerics:
+    stats are f32 reduces of the dtype-CAST output."""
+    out = _ln_mlp_ref(x, g, b, w1, b1, w2, b2, eps)
+    o32 = out.astype(jnp.float32)
+    mean = jnp.mean(o32, axis=-1, keepdims=True)
+    msq = jnp.mean(o32 * o32, axis=-1, keepdims=True)
+    pad = jnp.zeros((*out.shape[:-1], 6), jnp.float32)
+    return out, jnp.concatenate([mean, msq, pad], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_ln_mlp_stats_vjp(x, g, b, w1, b1, w2, b2, eps: float = 1e-6):
+    return _ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps, emit_stats=True)
+
+
+def _ln_mlp_stats_fwd(x, g, b, w1, b1, w2, b2, eps):
+    return (_ln_mlp_pallas(x, g, b, w1, b1, w2, b2, eps, emit_stats=True),
+            (x, g, b, w1, b1, w2, b2))
+
+
+def _ln_mlp_stats_bwd(eps, res, grads):
+    _, vjp = jax.vjp(lambda *a: _ln_mlp_stats_ref(*a, eps=eps), *res)
+    return vjp(grads)
+
+
+_fused_ln_mlp_stats_vjp.defvjp(_ln_mlp_stats_fwd, _ln_mlp_stats_bwd)
+
+
+def fused_ln_mlp_residual_stats(x, g, b, w1, b1, w2, b2, eps: float = 1e-6):
+    """Slab variant returning (out, stats) where stats[..., 0]/[..., 1] are
+    the f32 mean / mean-of-squares of out's feature axis — the next block's
+    pre-attention LayerNorm applies them via ``layer_norm_from_stats``
+    without re-reading out for the reduce (12 x 0.37 ms/iter of stats
+    fusions at the tower's shape). Backward re-derives through the XLA
+    composition like the other fused kernels. Runs per data shard under an
+    active data mesh."""
+    from synchformer_tpu.parallel.mesh import data_sharded_kernel
+
+    assert x.ndim >= 3, "stats are per-row LN statistics of a token tensor"
+    return data_sharded_kernel(
+        lambda *a: _fused_ln_mlp_stats_vjp(*a, eps=eps),
+        batched=(0,), replicated=(1, 2, 3, 4, 5, 6), n_out=2)(
+            x, g, b, w1, b1, w2, b2)
 
 
 def _ln_mlp_fwd(x, g, b, w1, b1, w2, b2, eps):

@@ -13,7 +13,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # the 8 virtual device threads share one vCPU on this box; under load a
+    # collective partner can be starved past the 40 s default, F-aborting
+    # the whole pytest process in rendezvous.cc (seen with the dryrun test)
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -190,3 +190,55 @@ def test_preln_block_pallas_attention_matches_xla(rng):
         got = bp.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ln_mlp_stats_matches_ref(rng):
+    """The stats-emitting slab variant: out == plain variant, stats ==
+    LN statistics of the cast output, and gradients match the XLA
+    composition (stats gradients included — the stats feed the next
+    block's LN, so they are differentiated through)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from synchformer_tpu.ops.pallas.fused_rows import (
+        _ln_mlp_stats_ref,
+        fused_ln_mlp_residual,
+        fused_ln_mlp_residual_stats,
+    )
+
+    D, H, n = 32, 128, 12  # n % 8 != 0: the slab layout
+    x = jnp.asarray(rng.standard_normal((3, 2, n, D)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((D, H)) / np.sqrt(D)).astype(np.float32))
+    b1 = jnp.asarray(0.02 * rng.standard_normal(H).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((H, D)) / np.sqrt(H)).astype(np.float32))
+    b2 = jnp.asarray(0.02 * rng.standard_normal(D).astype(np.float32))
+    args = (x, g, b, w1, b1, w2, b2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, stats = fused_ln_mlp_residual_stats(*args)
+        plain = fused_ln_mlp_residual(*args)
+    ref_out, ref_stats = _ln_mlp_stats_ref(*args, eps=1e-6)
+    assert stats.shape == (3, 2, n, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(stats[..., :2]),
+                               np.asarray(ref_stats[..., :2]),
+                               rtol=2e-4, atol=3e-5)
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            o, s = fused_ln_mlp_residual_stats(*a)
+        return jnp.sum(o ** 2) + jnp.sum(s[..., :2] ** 2)
+
+    def loss_ref(*a):
+        o, s = _ln_mlp_stats_ref(*a, eps=1e-6)
+        return jnp.sum(o ** 2) + jnp.sum(s[..., :2] ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 3))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 3))(*args)
+    for got_g, golden_g in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(golden_g),
+                                   rtol=2e-3, atol=2e-4)
