@@ -1,6 +1,7 @@
 """SPMD tests on the 8-device virtual CPU mesh: sharded train step, TP param
 layout, gradient-psum equivalence with single-device training, AVCLIP
 all-gather negatives."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -202,7 +203,23 @@ def test_pallas_step_under_sharded_mesh_matches_xla(rng):
 def test_dryrun_multichip_pallas_entry():
     """__graft_entry__.dryrun_multichip with the pallas attention path: the
     full train step (pallas fwd + custom-VJP bwd in interpret mode) compiles
-    and executes one step on the 8-device mesh."""
-    import __graft_entry__ as ge
+    and executes one step on the 8-device mesh.
 
-    ge.dryrun_multichip(8, attn_impl="pallas")
+    Runs in a FRESH subprocess: interpret mode drives millions of
+    io_callbacks, and inside the long-lived suite process (6+ GB of live
+    objects by this point) CPython GC slows them ~10x — the step that takes
+    ~75 s in isolation blew past the 600 s collective rendezvous timeout and
+    SIGABRTed the whole suite (seen twice). Isolation also matches how the
+    driver invokes it."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # keep the axon plugin out; dryrun forces cpu
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8, attn_impl='pallas')"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout + proc.stderr
